@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the multi-device fake backend the reference lacks (SURVEY §4): sharding and
+collective paths are exercised on any machine without TPU hardware.
+"""
+
+import os
+
+os.environ['JAX_PLATFORMS'] = 'cpu'  # force: the session env may point at a TPU platform
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def hp():
+    from tacotron2_tpu.config import default_hparams
+    return default_hparams()
