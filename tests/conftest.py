@@ -11,6 +11,13 @@ flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# jax may already be imported (e.g. by a sitecustomize registering a TPU backend);
+# env vars alone are then too late — override the live config before first device use.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+assert len(jax.devices()) == 8, 'tests require the 8-device virtual CPU mesh'
+
 import pytest  # noqa: E402
 
 
