@@ -1,0 +1,191 @@
+"""Host-side input pipeline for WaveNet training (reference wavenet_vocoder/feeder.py).
+
+Semantics preserved:
+  - consumes the GTA map.txt (train_with_GTA) or ground-truth train.txt metadata
+  - deterministic train/test split (random_state 1234)
+  - hop-aligned random crop to max_time_steps (feeder.py:368-401, _ensure_divisible)
+  - mel conditioning clipped to the Tacotron output range then rescaled to [0, 1]
+    (feeder.py:319-340)
+  - audio targets as raw floats (scalar input) or int ids (mulaw-quantize)
+
+TPU-first change: when max_time_steps is set, every train batch is padded to exactly
+that (hop-divisible) length — one static XLA shape for the whole run; masks carry
+true lengths.
+"""
+
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+from sklearn.model_selection import train_test_split
+
+from ..config import Hparams
+from ..ops.mulaw import is_mulaw_quantize, mulaw_quantize
+
+
+def _ensure_divisible(length: int, divisible_by: int, lower: bool = True) -> int:
+    if length % divisible_by == 0:
+        return length
+    if lower:
+        return length - length % divisible_by
+    return length + (divisible_by - length % divisible_by)
+
+
+def _round_down(x: int, multiple: int) -> int:
+    return x - (x % multiple)
+
+
+class WaveNetDataset:
+    def __init__(self, metadata_filename: str, hparams: Hparams,
+                 base_dir: Optional[str] = None):
+        self._hp = hparams
+        self._base_dir = base_dir if base_dir is not None else ''
+        with open(metadata_filename, encoding='utf-8') as f:
+            self._metadata = [line.strip().split('|') for line in f]
+
+        self.local_condition = hparams.cin_channels > 0
+        self.global_condition = hparams.gin_channels > 0
+
+        if hparams.wavenet_test_size is None:
+            assert hparams.wavenet_test_batches is not None
+        test_size = (hparams.wavenet_test_size if hparams.wavenet_test_size is not None
+                     else hparams.wavenet_test_batches * hparams.wavenet_batch_size)
+        indices = np.arange(len(self._metadata))
+        train_idx, test_idx = train_test_split(
+            indices, test_size=test_size, random_state=hparams.wavenet_data_random_state)
+        keep = _round_down(len(test_idx), hparams.wavenet_batch_size)
+        train_idx = np.concatenate([train_idx, test_idx[keep:]])
+        test_idx = test_idx[:keep]
+        self._train_meta = [self._metadata[i] for i in train_idx]
+        self._test_meta = [self._metadata[i] for i in test_idx]
+        self.test_steps = max(1, len(self._test_meta) // hparams.wavenet_batch_size)
+
+        if is_mulaw_quantize(hparams.input_type):
+            self._audio_pad = int(mulaw_quantize(np.array(0.0), hparams.quantize_channels))
+        else:
+            self._audio_pad = 0.0
+
+    def __len__(self):
+        return len(self._train_meta)
+
+    # ------------------------------------------------------------------
+    def _load_example(self, meta):
+        hp = self._hp
+        if hp.train_with_GTA and len(meta) > 2 and meta[2].endswith('.npy'):
+            mel_file = meta[2]
+            if 'linear' in mel_file:
+                raise RuntimeError('Linear spectrogram selected instead of GTA mels; '
+                                   'wrong metadata?')
+        else:
+            mel_file = meta[1]
+        audio_data = np.load(os.path.join(self._base_dir, meta[0]))
+        c = np.load(os.path.join(self._base_dir, mel_file)) if self.local_condition else None
+        g = None
+        if self.global_condition:
+            g = meta[3]
+            if g == '<no_g>':
+                raise RuntimeError('global conditioning enabled but metadata has no '
+                                   'speaker ids; redo preprocessing/GTA synthesis')
+            g = int(g)
+        return (audio_data, c, g, len(audio_data))
+
+    def _max_time_steps(self) -> Optional[int]:
+        hp = self._hp
+        if hp.max_time_sec is not None:
+            return int(hp.max_time_sec * hp.sample_rate)
+        return hp.max_time_steps
+
+    def _crop(self, x, c, rng):
+        """Hop-aligned random crop to max_time_steps (feeder.py:368-401)."""
+        hp = self._hp
+        mts = self._max_time_steps()
+        if c is not None:
+            assert len(x) % len(c) == 0 and len(x) // len(c) == hp.get_hop_size()
+            if mts is not None and len(x) > mts:
+                hop = hp.get_hop_size()
+                max_steps = _ensure_divisible(mts, hop, True)
+                max_frames = max_steps // hop
+                start = int(rng.integers(0, len(c) - max_frames))
+                x = x[start * hop: (start + max_frames) * hop]
+                c = c[start: start + max_frames, :]
+        else:
+            if mts is not None and len(x) > mts:
+                start = int(rng.integers(0, len(x) - mts))
+                x = x[start: start + mts]
+        return x, c
+
+    # ------------------------------------------------------------------
+    def train_batches(self, seed: int = 0, group_batches: int = 64
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+        hp = self._hp
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self._train_meta))
+        offset = 0
+        n = hp.wavenet_batch_size
+        while True:
+            group = []
+            for _ in range(n * group_batches):
+                if offset >= len(order):
+                    order = rng.permutation(len(self._train_meta))
+                    offset = 0
+                group.append(self._load_example(self._train_meta[order[offset]]))
+                offset += 1
+            group.sort(key=lambda e: e[-1])
+            batches = [group[i:i + n] for i in range(0, len(group), n)]
+            rng.shuffle(batches)
+            for b in batches:
+                yield self._prepare_batch(b, rng)
+
+    def test_batches(self) -> List[Dict[str, np.ndarray]]:
+        hp = self._hp
+        rng = np.random.default_rng(hp.wavenet_data_random_state)
+        examples = [self._load_example(m) for m in self._test_meta]
+        examples.sort(key=lambda e: e[-1])
+        n = hp.wavenet_batch_size
+        batches = [examples[i:i + n] for i in range(0, len(examples), n)]
+        return [self._prepare_batch(b, rng) for b in batches]
+
+    # ------------------------------------------------------------------
+    def _prepare_batch(self, batch, rng) -> Dict[str, np.ndarray]:
+        hp = self._hp
+        hop = hp.get_hop_size()
+        cropped = [self._crop(x, c, rng) for (x, c, g, l) in batch]
+        gs = [g for (_, _, g, _) in batch]
+
+        input_lengths = np.asarray([len(x) for x, _ in cropped], np.int32)
+        mts = self._max_time_steps()
+        if mts is not None:
+            # static shape: always the hop-divisible crop length
+            max_len = _ensure_divisible(mts, hop, True)
+        else:
+            max_len = int(input_lengths.max())
+            max_len = _ensure_divisible(max_len, hop, False)
+
+        if is_mulaw_quantize(hp.input_type):
+            audio_batch = np.stack([
+                np.pad(x, (0, max_len - len(x)), constant_values=self._audio_pad)
+                for x, _ in cropped]).astype(np.int32)
+        else:
+            audio_batch = np.stack([
+                np.pad(x, (0, max_len - len(x)), constant_values=self._audio_pad)
+                for x, _ in cropped]).astype(np.float32)
+
+        out = dict(audio=audio_batch, input_lengths=input_lengths)
+
+        if self.local_condition:
+            lo, hi = ((-hp.max_abs_value, hp.max_abs_value) if hp.symmetric_mels
+                      else (0.0, hp.max_abs_value))
+            max_frames = max_len // hop
+            cs = []
+            for _, c in cropped:
+                if hp.clip_for_wavenet:
+                    c = np.clip(c, lo, hi)
+                c = np.pad(c, [(0, max_frames - len(c)), (0, 0)], constant_values=lo)
+                cs.append(c)
+            c_batch = np.stack(cs).astype(np.float32)
+            if hp.normalize_for_wavenet:
+                c_batch = ((c_batch - lo) / (hi - lo)).astype(np.float32)
+            out['mel_conditions'] = c_batch
+        if self.global_condition:
+            out['speaker_ids'] = np.asarray(gs, np.int32)
+        return out

@@ -1,0 +1,196 @@
+"""WaveNet training loop (reference wavenet_vocoder/train.py:194-346).
+
+Operational parity: restore-or-create with EMA weights in the checkpoint (shadow-saver
+equivalent), rolling sec/step + loss windows, loss-explosion abort, summary/checkpoint
+intervals, eval via full autoregressive generation with frames/sec logging, artifact
+dumps (teacher-forced pred/target wavs + plots)."""
+
+import os
+import time
+import traceback
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Hparams, hparams_debug_string
+from ..data.loader import Prefetcher
+from ..data.wavenet_loader import WaveNetDataset
+from ..ops import audio
+from ..ops.mulaw import inv_mulaw, inv_mulaw_quantize, is_mulaw, is_mulaw_quantize
+from ..parallel import mesh as mesh_lib
+from ..utils import ValueWindow, plot
+from ..utils.infolog import log
+from . import wavenet_trainer as wt
+from .checkpointing import CheckpointManager
+
+
+def time_string():
+    return datetime.now().strftime('%Y-%m-%d %H:%M')
+
+
+def _to_waveform(y: np.ndarray, hp: Hparams) -> np.ndarray:
+    """Model-domain audio → float waveform."""
+    if is_mulaw_quantize(hp.input_type):
+        return inv_mulaw_quantize(y, hp.quantize_channels)
+    if is_mulaw(hp.input_type):
+        return inv_mulaw(y, hp.quantize_channels)
+    return y
+
+
+def save_log(step, batch, m, hp, plot_dir, wav_dir):
+    """Teacher-forced pred vs target dump (reference train.py:128-162)."""
+    y_hat_params = np.asarray(m['y_hat'][0])  # (T, out)
+    y_target = np.asarray(batch['audio'][0])
+    L = int(batch['input_lengths'][0])
+    # take distribution mode/argmax as the displayed prediction
+    if is_mulaw_quantize(hp.input_type):
+        pred = y_hat_params.argmax(axis=-1)
+    elif hp.out_channels == 2:
+        pred = y_hat_params[:, 0]
+    else:
+        nr = hp.out_channels // 3
+        k = y_hat_params[:, :nr].argmax(axis=-1)
+        pred = np.take_along_axis(y_hat_params[:, nr:2 * nr], k[:, None], axis=1)[:, 0]
+    pred_wav = _to_waveform(pred[:L], hp)
+    target_wav = _to_waveform(y_target[:L], hp)
+    audio.save_wav(pred_wav, os.path.join(wav_dir, f'step-{step}-pred.wav'), hp.sample_rate)
+    audio.save_wav(target_wav, os.path.join(wav_dir, f'step-{step}-real.wav'), hp.sample_rate)
+    plot.waveplot(os.path.join(plot_dir, f'step-{step}-waveplot.png'), pred_wav, target_wav,
+                  hp, title=f'{time_string()}, step={step}')
+
+
+def eval_step(state, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
+    """Full autoregressive generation on one utterance (reference train.py:89-126)."""
+    c = batch.get('mel_conditions')
+    g = batch.get('speaker_ids')
+    L = int(batch['input_lengths'][0])
+    c1 = jnp.asarray(c[:1]) if c is not None else None
+    g1 = jnp.asarray(g[:1]) if g is not None else None
+    start = time.time()
+    out = wt.generate(state.ema_params, hp, jax.random.PRNGKey(step), c1, g1,
+                      synthesis_length=None if c1 is not None else L)
+    audio_out = np.asarray(out['audio'][0])
+    elapsed = time.time() - start
+    frames_sec = len(audio_out) / max(elapsed, 1e-6)
+    log('Eval generation: {} samples in {:.3f} sec ({:.1f} samples/sec)'.format(
+        len(audio_out), elapsed, frames_sec))
+
+    pred_wav = _to_waveform(audio_out[:L], hp)
+    target_wav = _to_waveform(np.asarray(batch['audio'][0][:L]), hp)
+    audio.save_wav(pred_wav, os.path.join(eval_wav_dir, f'step-{step}-pred.wav'), hp.sample_rate)
+    audio.save_wav(target_wav, os.path.join(eval_wav_dir, f'step-{step}-real.wav'), hp.sample_rate)
+    plot.waveplot(os.path.join(eval_plot_dir, f'step-{step}-waveplot.png'),
+                  pred_wav, target_wav, hp, title=f'{time_string()}, step={step}')
+    if writer is not None:
+        writer.add_scalar('eval/gen_samples_per_sec', frames_sec, step)
+        writer.flush()
+
+
+def train(log_dir: str, args, hparams: Hparams, input_path: str):
+    hp = hparams
+    save_dir = os.path.join(log_dir, 'wave_pretrained')
+    plot_dir = os.path.join(log_dir, 'plots')
+    wav_dir = os.path.join(log_dir, 'wavs')
+    eval_dir = os.path.join(log_dir, 'eval-dir')
+    eval_plot_dir = os.path.join(eval_dir, 'plots')
+    eval_wav_dir = os.path.join(eval_dir, 'wavs')
+    tensorboard_dir = os.path.join(log_dir, 'wavenet_events')
+    for d in (save_dir, plot_dir, wav_dir, eval_dir, eval_plot_dir, eval_wav_dir,
+              tensorboard_dir):
+        os.makedirs(d, exist_ok=True)
+
+    log('Checkpoint_path: {}'.format(save_dir))
+    log('Loading training data from: {}'.format(input_path))
+    log(hparams_debug_string(hp))
+
+    np.random.seed(hp.wavenet_random_seed)
+    dataset = WaveNetDataset(input_path, hp, base_dir=args.base_dir)
+    log('{} train examples, {} test steps'.format(len(dataset), dataset.test_steps))
+
+    mesh = mesh_lib.make_mesh(hp)
+    example = next(dataset.train_batches(seed=hp.wavenet_data_random_state,
+                                         group_batches=2))
+    state = wt.create_train_state(hp, jax.random.PRNGKey(hp.wavenet_random_seed), example)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+    log('WaveNet Parameters: {:.3f} Million.'.format(n_params / 1e6))
+
+    ckpt = CheckpointManager(save_dir, max_to_keep=20)
+    if args.restore and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        log('Restored WaveNet checkpoint at step {}'.format(int(state.step)), slack=True)
+    else:
+        log('Starting new WaveNet training!', slack=True)
+
+    state = mesh_lib.replicate(state, mesh)
+    train_step, eval_tf_step = wt.make_jitted_steps(hp, mesh)
+
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(tensorboard_dir)
+    except Exception:
+        writer = None
+
+    time_window, loss_window = ValueWindow(100), ValueWindow(100)
+    batches = Prefetcher(dataset.train_batches(seed=hp.wavenet_data_random_state), depth=8)
+    test_batches = dataset.test_batches()
+    rng = jax.random.PRNGKey(hp.wavenet_random_seed)
+
+    step = int(jax.device_get(state.step))
+    last_batch = None
+    try:
+        while step < args.wavenet_train_steps:
+            start = time.time()
+            batch = next(batches)
+            last_batch = batch
+            sb = mesh_lib.shard_batch(batch, mesh)
+            state, metrics = train_step(state, sb, rng)
+            loss = float(jax.device_get(metrics['loss']))
+            step = int(jax.device_get(state.step))
+            time_window.append(time.time() - start)
+            loss_window.append(loss)
+            message = 'Step {:7d} [{:.3f} sec/step, loss={:.5f}, avg_loss={:.5f}]'.format(
+                step, time_window.average, loss, loss_window.average)
+            log(message, end='\r', slack=(step % args.checkpoint_interval == 0))
+
+            if np.isnan(loss) or loss > 100.0:
+                log('Loss exploded to {:.5f} at step {}'.format(loss, step))
+                raise RuntimeError('Loss exploded')
+
+            if step % args.summary_interval == 0 and writer is not None:
+                for k in ('loss', 'grad_norm', 'learning_rate'):
+                    writer.add_scalar(f'train/{k}', float(jax.device_get(metrics[k])), step)
+                writer.flush()
+
+            if step % args.eval_interval == 0 and test_batches:
+                log('\nEvaluating at step {}'.format(step))
+                m = jax.device_get(eval_tf_step(state, mesh_lib.shard_batch(
+                    test_batches[0], mesh)))
+                log('Eval (teacher-forced) loss: {:.5f}'.format(float(m['loss'])))
+                if writer is not None:
+                    writer.add_scalar('eval/loss', float(m['loss']), step)
+                eval_step(jax.device_get(state), test_batches[0], hp,
+                          eval_plot_dir, eval_wav_dir, step, writer)
+
+            if (step % args.checkpoint_interval == 0 or
+                    step == args.wavenet_train_steps):
+                log('\nSaving checkpoint at step {}'.format(step))
+                host_state = jax.device_get(state)
+                ckpt.save(step, host_state)
+                m = jax.device_get(eval_tf_step(state, mesh_lib.shard_batch(batch, mesh)))
+                save_log(step, batch, m, hp, plot_dir, wav_dir)
+
+        log('WaveNet training complete after {} global steps!'.format(
+            args.wavenet_train_steps), slack=True)
+        return save_dir
+    except Exception as e:
+        log('Exiting due to exception: {}'.format(e), slack=True)
+        traceback.print_exc()
+        raise
+    finally:
+        batches.close()
+
+
+def wavenet_train(args, log_dir, hparams, input_path):
+    return train(log_dir, args, hparams, input_path)

@@ -1,0 +1,135 @@
+"""WaveNet train/eval steps (reference wavenet_vocoder/models/wavenet.py:476-648,
+wavenet_vocoder/train.py).
+
+Optimization parity: Adam with noam/exponential LR, per-gradient norm clip (100) +
+value clip (±5) (reference wavenet.py:586-596), and an exponential moving average of
+all trainable parameters maintained in the train state (replacing the reference's
+`ema.apply` op chain + shadow saver, wavenet.py:601-613 / train.py:67-85).
+"""
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from ..config import Hparams
+from ..models.wavenet.model import WaveNet, compute_wavenet_loss
+from ..ops.mulaw import is_mulaw_quantize
+from ..parallel import mesh as mesh_lib
+from . import schedules
+
+
+class WaveNetTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: core.FrozenDict
+    ema_params: core.FrozenDict
+    opt_state: Any
+
+
+def make_optimizer(hp: Hparams) -> optax.GradientTransformation:
+    transforms = []
+    if hp.wavenet_clip_gradients:
+        # reference clips each gradient's norm to 100 then values to ±5
+        def per_grad_clip(grads):
+            def clip_one(g):
+                norm = jnp.sqrt(jnp.sum(jnp.square(g)) + 1e-12)
+                g = g * jnp.minimum(1.0, hp.wavenet_gradient_max_norm / norm)
+                return jnp.clip(g, -hp.wavenet_gradient_max_value,
+                                hp.wavenet_gradient_max_value)
+            return jax.tree_util.tree_map(clip_one, grads)
+        transforms.append(optax.stateless(lambda updates, params: per_grad_clip(updates)))
+    transforms.append(optax.adam(
+        learning_rate=lambda step: schedules.wavenet_learning_rate(hp, step),
+        b1=hp.wavenet_adam_beta1, b2=hp.wavenet_adam_beta2,
+        eps=hp.wavenet_adam_epsilon))
+    return optax.chain(*transforms)
+
+
+def _batch_mask(batch: Dict[str, Any]) -> jnp.ndarray:
+    T = batch['audio'].shape[1]
+    return (jnp.arange(T)[None, :] < batch['input_lengths'][:, None]).astype(jnp.float32)
+
+
+def create_train_state(hp: Hparams, rng: jax.Array, example_batch: Dict[str, Any],
+                       dtype=jnp.float32) -> WaveNetTrainState:
+    model = WaveNet(hp, dtype=dtype)
+    x = model.encode_input(jnp.asarray(example_batch['audio']))
+
+    def init_fn():
+        return model.init({'params': rng, 'dropout': jax.random.fold_in(rng, 1)},
+                          x, example_batch.get('mel_conditions'),
+                          example_batch.get('speaker_ids'), train=False)
+    variables = jax.jit(init_fn)()
+    params = variables['params']
+    tx = make_optimizer(hp)
+    # EMA starts as a genuine copy — aliased buffers break jit donation
+    ema = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    return WaveNetTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                             ema_params=ema, opt_state=tx.init(params))
+
+
+def train_step(state: WaveNetTrainState, batch: Dict[str, Any], rng: jax.Array,
+               hp: Hparams, dtype=jnp.float32
+               ) -> Tuple[WaveNetTrainState, Dict[str, jnp.ndarray]]:
+    model = WaveNet(hp, dtype=dtype)
+    tx = make_optimizer(hp)
+    step_rng = jax.random.fold_in(rng, state.step)
+    mask = _batch_mask(batch)
+    y = batch['audio']
+    c = batch.get('mel_conditions')
+    g = batch.get('speaker_ids')
+
+    def loss_fn(params):
+        x = model.encode_input(y)
+        y_hat = model.apply({'params': params}, x, c, g, train=True,
+                            rngs={'dropout': step_rng})
+        return compute_wavenet_loss(hp, y_hat, y, mask)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    # EMA after the update, matching ema.apply chained after adam (wavenet.py:601-613)
+    decay = hp.wavenet_ema_decay
+    new_ema = jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), state.ema_params, new_params)
+    metrics = dict(loss=loss, grad_norm=optax.global_norm(grads),
+                   learning_rate=schedules.wavenet_learning_rate(hp, state.step))
+    new_state = state.replace(step=state.step + 1, params=new_params,
+                              ema_params=new_ema, opt_state=new_opt_state)
+    return new_state, metrics
+
+
+def eval_teacher_forced_step(state: WaveNetTrainState, batch: Dict[str, Any],
+                             hp: Hparams, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """Teacher-forced eval loss using EMA weights."""
+    model = WaveNet(hp, dtype=dtype)
+    mask = _batch_mask(batch)
+    y = batch['audio']
+    x = model.encode_input(y)
+    y_hat = model.apply({'params': state.ema_params}, x, batch.get('mel_conditions'),
+                        batch.get('speaker_ids'), train=False)
+    return dict(loss=compute_wavenet_loss(hp, y_hat, y, mask), y_hat=y_hat)
+
+
+def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
+             g: Optional[jnp.ndarray] = None, synthesis_length: Optional[int] = None,
+             targets: Optional[jnp.ndarray] = None, dtype=jnp.float32
+             ) -> Dict[str, jnp.ndarray]:
+    """Autoregressive generation (jit-compiled per shape)."""
+    model = WaveNet(hp, dtype=dtype)
+    return model.apply({'params': params}, rng, c, g, synthesis_length, None, targets,
+                       method=WaveNet.incremental)
+
+
+def make_jitted_steps(hp: Hparams, mesh, dtype=jnp.float32):
+    rep = mesh_lib.replicated(mesh)
+    data = mesh_lib.batch_sharding(mesh)
+    jt = jax.jit(partial(train_step, hp=hp, dtype=dtype),
+                 in_shardings=(rep, data, rep), out_shardings=(rep, rep),
+                 donate_argnums=(0,))
+    je = jax.jit(partial(eval_teacher_forced_step, hp=hp, dtype=dtype),
+                 in_shardings=(rep, data), out_shardings=rep)
+    return jt, je
