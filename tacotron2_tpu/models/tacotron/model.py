@@ -97,7 +97,8 @@ class DecoderCell(nn.Module):
         new_carry = dict(
             memory=carry['memory'],
             lstm=tuple(new_lstm_states),
-            context=context,
+            # attention mixes f32 (softmax) with compute dtype; keep the carry stable
+            context=context.astype(self.dtype),
             align_state=align_state,
             max_att=max_att,
             prev_frame=frames[:, -hp.num_mels:].astype(jnp.float32),
