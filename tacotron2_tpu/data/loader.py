@@ -176,12 +176,13 @@ class Prefetcher:
 
     def __next__(self):
         while True:
-            if self._err is not None:
-                raise self._err
+            # drain queued items before surfacing a producer error
             try:
-                return self._q.get(timeout=1.0)
+                return self._q.get(timeout=0.2)
             except queue.Empty:
-                if not self._thread.is_alive() and self._err is None:
+                if self._err is not None:
+                    raise self._err
+                if not self._thread.is_alive():
                     raise StopIteration
 
     def close(self):

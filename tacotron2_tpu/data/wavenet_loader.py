@@ -78,8 +78,8 @@ class WaveNetDataset:
                                    'wrong metadata?')
         else:
             mel_file = meta[1]
-        audio_data = np.load(os.path.join(self._base_dir, meta[0]))
-        c = np.load(os.path.join(self._base_dir, mel_file)) if self.local_condition else None
+        audio_data = np.load(self._resolve(meta[0], 'audio'))
+        c = np.load(self._resolve(mel_file, 'mels')) if self.local_condition else None
         g = None
         if self.global_condition:
             g = meta[3]
@@ -88,6 +88,14 @@ class WaveNetDataset:
                                    'speaker ids; redo preprocessing/GTA synthesis')
             g = int(g)
         return (audio_data, c, g, len(audio_data))
+
+    def _resolve(self, path: str, subdir: str) -> str:
+        """Resolve a metadata path: absolute/relative as written, else under the
+        metadata dir's artifact subdir (bare filenames from train.txt rows)."""
+        cand = os.path.join(self._base_dir, path)
+        if os.path.isfile(cand):
+            return cand
+        return os.path.join(self._base_dir, subdir, path)
 
     def _max_time_steps(self) -> Optional[int]:
         hp = self._hp

@@ -157,6 +157,10 @@ def train(log_dir: str, args, hparams: Hparams):
                 run_eval(state, eval_step, test_batches, mesh, hp, step, writer,
                          eval_plot_dir, eval_wav_dir, rng)
 
+            if (getattr(args, 'embedding_interval', 0) and
+                    step % args.embedding_interval == 0 and writer is not None):
+                write_embedding_projection(state, writer, step)
+
             if (step % args.checkpoint_interval == 0 or
                     step == args.tacotron_train_steps or step == 300):
                 save_checkpoint_artifacts(state, ckpt, eval_step, last_batch, mesh, hp,
@@ -171,6 +175,17 @@ def train(log_dir: str, args, hparams: Hparams):
         raise
     finally:
         batches.close()
+
+
+def write_embedding_projection(state, writer, step):
+    """Character-embedding projector (reference train.py:26-39, 381-388)."""
+    try:
+        emb = np.asarray(jax.device_get(state.params['inputs_embedding']))
+        labels = ['\\s' if s == ' ' else s for s in symbols]
+        writer.add_embedding(emb, metadata=labels, global_step=step,
+                             tag='inputs_embedding')
+    except Exception as e:  # tensorboardX embedding needs extra deps on some setups
+        log(f'embedding projection skipped: {e}')
 
 
 def run_eval(state, eval_step, test_batches, mesh, hp, step, writer,
