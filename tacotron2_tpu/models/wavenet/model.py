@@ -80,6 +80,10 @@ class WaveNet(nn.Module):
             return self.embed_speakers(g.astype(jnp.int32))  # (B, gin)
         return g
 
+    def upsample_conditioning(self, c: jnp.ndarray) -> jnp.ndarray:
+        """mel (B, Tc, cin) → (B, Tc*hop, cin); exposed for the Pallas AR kernel."""
+        return self.upsample(c)
+
     def encode_input(self, y: jnp.ndarray) -> jnp.ndarray:
         """Audio (B, T) → network input (B, T, in_channels)."""
         if is_scalar_input(self.hp.input_type):
@@ -117,7 +121,7 @@ class WaveNet(nn.Module):
             else:
                 skips = skips + s
                 if hp.legacy:
-                    skips = skips * np.sqrt(0.5)
+                    skips = skips * float(np.sqrt(0.5))
         out = nn.relu(skips)
         out = nn.relu(self.skip_conv1(out))
         return self.skip_conv2(out).astype(jnp.float32)
@@ -143,7 +147,7 @@ class WaveNet(nn.Module):
         """
         hp = self.hp
         if c is not None and hp.cin_channels > 0:
-            c_up = self.upsample(c)
+            c_up = self.upsample(c).astype(self.dtype)
             B, T = c_up.shape[0], c_up.shape[1]
         else:
             c_up = None
@@ -155,6 +159,8 @@ class WaveNet(nn.Module):
 
         dilations = self._dilations()
         k = hp.kernel_size
+        L = hp.layers
+        gate = hp.gate_channels
         buffers = tuple(
             jnp.zeros((B, (k - 1) * d, hp.residual_channels), self.dtype)
             for d in dilations)
@@ -167,62 +173,113 @@ class WaveNet(nn.Module):
         else:
             init_sample = initial_input
 
-        step_keys = jax.random.split(rng, T)
+        # --- hoist everything loop-invariant out of the scan body ---
+        # merged local-conditioning projection: one (B,cin)@(cin, L*gate) matmul per
+        # step instead of L small ones (the scan body is latency-bound)
+        if c_up is not None:
+            wc = jnp.stack([ly.conv1x1c.effective_kernel()
+                            for ly in self.residual_layers], axis=1)  # (cin, L, gate)
+            wc_flat = wc.reshape(hp.cin_channels, L * gate)
+            bc_flat = (jnp.concatenate([ly.conv1x1c.bias for ly in self.residual_layers])
+                       .astype(self.dtype) if hp.use_bias else None)
+        # global conditioning is time-invariant: project once for the whole utterance
+        if g_emb is not None:
+            g_projs = [ly.conv1x1g(g_emb) for ly in self.residual_layers]  # L x (B, gate)
+        else:
+            g_projs = [None] * L
+
+        # pre-sampled distribution noise: per-step threefry RNG costs more than the
+        # layer stack itself on TPU
         ts = jnp.arange(T)
-        xs = (step_keys, ts) if targets is None else (step_keys, ts, targets.T)
+        mulaw_q = is_mulaw_quantize(hp.input_type)
+        if mulaw_q:
+            noise = jax.random.split(rng, T)  # per-step categorical keys
+        elif hp.out_channels == 2:
+            noise = jax.random.normal(rng, (T, B))
+        else:
+            nr = hp.out_channels // 3
+            k1, k2 = jax.random.split(rng)
+            gu = jax.random.uniform(k1, (T, B, nr), minval=1e-5, maxval=1.0 - 1e-5)
+            u = jax.random.uniform(k2, (T, B), minval=1e-5, maxval=1.0 - 1e-5)
+            noise = (-jnp.log(-jnp.log(gu)), jnp.log(u) - jnp.log(1.0 - u))
+        xs = (ts, noise) if targets is None else (ts, noise, targets.T)
 
         def step(carry, inp):
             buffers, prev_sample = carry
             if targets is None:
-                key, t = inp
+                t, noise_t = inp
             else:
-                key, t, teacher_t = inp
+                t, noise_t, teacher_t = inp
             x_t = self.encode_input(prev_sample[:, None])[:, 0, :]  # (B, in)
-            c_t = jax.lax.dynamic_index_in_dim(c_up, t, axis=1, keepdims=False) \
-                if c_up is not None else None
 
+            if c_up is not None:
+                c_t = jax.lax.dynamic_index_in_dim(c_up, t, axis=1, keepdims=False)
+                c_proj_all = c_t @ wc_flat
+                if bc_flat is not None:
+                    c_proj_all = c_proj_all + bc_flat
+                c_proj_all = c_proj_all.reshape(B, L, gate)
             h = self.first_conv(x_t)
             new_buffers = []
             skips = None
-            for layer, buf, d in zip(self.residual_layers, buffers, dilations):
-                # taps: k-1 strided reads from the ring buffer + current input
+            for li, (layer, buf, d) in enumerate(zip(self.residual_layers, buffers,
+                                                     dilations)):
+                # circular ring buffer: O(1) update per step instead of an O(size)
+                # shift-copy (the copies dominated the scan body at full size)
                 if k > 1:
-                    # buffer holds [x(t-(k-1)d) ... x(t-1)]; tap x(t-m) sits at
-                    # index buf_len - m, m = (k-1-j)*d
-                    past = [buf[:, buf.shape[1] - (k - 1 - j) * d, :]
-                            for j in range(k - 1)]
+                    size = (k - 1) * d
+                    # tap x(t-m) lives at slot (t - m) mod size; slots not yet
+                    # written still hold the zero init (the causal left padding)
+                    past = []
+                    for j in range(k - 1):
+                        m = (k - 1 - j) * d
+                        slot = jax.lax.rem(t + size - m, size)
+                        past.append(jax.lax.dynamic_slice(
+                            buf, (0, slot, 0), (B, 1, buf.shape[2]))[:, 0, :])
                     taps = jnp.stack(past + [h], axis=1)  # (B, k, R)
-                    new_buf = jnp.concatenate([buf[:, 1:, :], h[:, None, :]], axis=1)
+                    # overwrite slot t mod size (= the x(t-size) tap, already read)
+                    new_buf = jax.lax.dynamic_update_slice(
+                        buf, h[:, None, :].astype(buf.dtype),
+                        (0, jax.lax.rem(t, size), 0))
                 else:
                     taps = h[:, None, :]
                     new_buf = buf
-                h, s = layer.incremental_step(taps, c_t, g_emb)
+                c_proj = c_proj_all[:, li, :] if c_up is not None else None
+                h, s = layer.incremental_step(taps, c_proj, g_projs[li])
                 new_buffers.append(new_buf)
                 if skips is None:
                     skips = s
                 else:
                     skips = skips + s
                     if hp.legacy:
-                        skips = skips * np.sqrt(0.5)
+                        skips = skips * float(np.sqrt(0.5))
 
             out = nn.relu(skips)
             out = nn.relu(self.skip_conv1(out))
             params_t = self.skip_conv2(out).astype(jnp.float32)  # (B, out_channels)
 
-            if is_mulaw_quantize(hp.input_type):
-                sample = dist.sample_from_categorical(params_t, key)
+            if mulaw_q:
+                sample = dist.sample_from_categorical(params_t, noise_t)
             elif hp.out_channels == 2:
-                sample = dist.sample_from_gaussian(params_t, key, hp.log_scale_min_gauss)
+                mean = params_t[:, 0]
+                log_scale = jnp.maximum(params_t[:, 1], hp.log_scale_min_gauss)
+                sample = jnp.clip(mean + jnp.exp(log_scale) * noise_t, -1.0, 1.0)
             else:
-                sample = dist.sample_from_discretized_mix_logistic(
-                    params_t, key, hp.log_scale_min)
+                gumbel_t, logistic_t = noise_t
+                nr = hp.out_channels // 3
+                arg = jnp.argmax(params_t[:, :nr] + gumbel_t, axis=-1)
+                onehot = jax.nn.one_hot(arg, nr, dtype=params_t.dtype)
+                mean = jnp.sum(params_t[:, nr:2 * nr] * onehot, axis=-1)
+                log_scale = jnp.maximum(
+                    jnp.sum(params_t[:, 2 * nr:3 * nr] * onehot, axis=-1),
+                    hp.log_scale_min)
+                sample = jnp.clip(mean + jnp.exp(log_scale) * logistic_t, -1.0, 1.0)
             if targets is not None:
                 sample = teacher_t.astype(sample.dtype)  # debug teacher forcing
             return (tuple(new_buffers), sample), (sample, params_t)
 
         (_, _), (samples, params) = jax.lax.scan(
             step, (buffers, init_sample.astype(
-                jnp.int32 if is_mulaw_quantize(hp.input_type) else jnp.float32)), xs)
+                jnp.int32 if mulaw_q else jnp.float32)), xs)
         return dict(audio=samples.T, params=jnp.transpose(params, (1, 0, 2)))
 
 

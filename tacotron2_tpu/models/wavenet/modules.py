@@ -48,11 +48,15 @@ class Conv1x1(nn.Module):
                                    (self.features,), jnp.float32)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        k = _maybe_weight_norm(self, self.kernel_v).astype(self.dtype)
-        y = x.astype(self.dtype) @ k
+        y = x.astype(self.dtype) @ self.effective_kernel()
         if self.use_bias:
             y = y + self.bias.astype(self.dtype)
         return y
+
+    def effective_kernel(self) -> jnp.ndarray:
+        """The (in, out) kernel after optional weight-norm reparameterization —
+        exposed so the incremental path can merge projections across layers."""
+        return _maybe_weight_norm(self, self.kernel_v).astype(self.dtype)
 
 
 class CausalConv1D(nn.Module):
@@ -146,7 +150,7 @@ class ResidualConv1DGLU(nn.Module):
         s = self.conv1x1_skip(gated)
         x = self.conv1x1_out(gated)
         if self.residual_legacy:
-            x = (x + residual) * np.sqrt(0.5)
+            x = (x + residual) * float(np.sqrt(0.5))
         else:
             x = x + residual
         return x, s
@@ -166,17 +170,30 @@ class ResidualConv1DGLU(nn.Module):
         gated = self._gate(conv_out, c_proj, g_proj)
         return self._outputs(gated, residual)
 
-    def incremental_step(self, taps: jnp.ndarray, c_t: Optional[jnp.ndarray],
-                         g_t: Optional[jnp.ndarray]
+    def incremental_step(self, taps: jnp.ndarray, c_proj: Optional[jnp.ndarray],
+                         g_proj: Optional[jnp.ndarray]
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """One sample. taps (B, k, R) from ring buffer (current input is taps[:, -1]);
-        c_t (B, cin); g_t (B, gin). Returns (x_out (B, R), skip (B, S))."""
+        c_proj/g_proj (B, gate_channels) are PRE-projected conditioning — the caller
+        merges the 1x1 conditioning matmuls of all layers into one (latency of the
+        scan body is dominated by small sequential matmuls).
+        Returns (x_out (B, R), skip (B, S))."""
         residual = taps[:, -1, :]
         conv_out = self.conv.incremental_step(taps)
-        c_proj = self.conv1x1c(c_t) if c_t is not None else None
-        g_proj = self.conv1x1g(g_t) if g_t is not None else None
         gated = self._gate(conv_out, c_proj, g_proj)
-        return self._outputs(gated, residual)
+        # merge the out+skip projections into one matmul: they share the gated input
+        w = jnp.concatenate([self.conv1x1_out.effective_kernel(),
+                             self.conv1x1_skip.effective_kernel()], axis=1)
+        y = gated @ w
+        if self.use_bias:
+            y = y + jnp.concatenate([self.conv1x1_out.bias,
+                                     self.conv1x1_skip.bias]).astype(self.dtype)
+        x, s = y[:, :self.residual_channels], y[:, self.residual_channels:]
+        if self.residual_legacy:
+            x = (x + residual) * float(np.sqrt(0.5))
+        else:
+            x = x + residual
+        return x, s
 
 
 class Embedding(nn.Module):

@@ -1,0 +1,292 @@
+"""Pallas TPU kernel: fully on-chip WaveNet autoregressive generation.
+
+The XLA `lax.scan` path (models/wavenet/model.py `incremental`) is latency-bound: each
+audio sample issues ~43 tiny dependent matmuls through the scan machinery
+(~400 us/sample-step at full size). This kernel keeps the ENTIRE generation loop on
+one TensorCore:
+
+  - all conv weights live in VMEM for the whole call (~6 MB bf16 at default size);
+  - the fast-WaveNet ring buffers (reference wavenet.py:815-816) are VMEM scratch,
+    one (B, 2*dilation_padded, R) array per layer, updated in place;
+  - upsampled conditioning and pre-sampled distribution noise stream in from HBM in
+    `CHUNK`-step slabs; generated samples stream back out the same way;
+  - each step: one merged conditioning matmul (B, cin)@(cin, L*G), then per layer one
+    (B, 3R)@(3R, G) tap matmul + GLU + one (B, G/2)@(G/2, R+S) out/skip matmul, then
+    the two-layer head and Gaussian/MoL sampling from precomputed noise.
+
+Supported configs: scalar input (raw / mulaw), kernel_size arbitrary (k-1 taps),
+Gaussian (out_channels==2) or MoL (out_channels==3*nr) output, local conditioning
+required, no global conditioning (falls back to the scan path otherwise).
+"""
+
+import math
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import Hparams
+
+CHUNK = 128     # steps per HBM<->VMEM slab
+LANE = 128      # TPU lane width: HBM<->VMEM DMA slices must be lane-aligned
+B_PAD = 8       # batch rows padded to the f32 sublane tile
+
+
+def supports(hp: Hparams) -> bool:
+    """Whether this kernel covers the configuration."""
+    return (hp.input_type in ('raw', 'mulaw')
+            and 0 < hp.cin_channels <= LANE
+            and hp.gin_channels <= 0
+            and (hp.out_channels == 2 or hp.out_channels % 3 == 0)
+            and hp.out_channels <= LANE
+            and hp.gate_channels % 2 == 0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return x if x % m == 0 else x + m - x % m
+
+
+def pack_params(params: Dict, hp: Hparams) -> Dict[str, jnp.ndarray]:
+    """Extract + pre-transform flax WaveNet params for the kernel.
+
+    Weights are linearized/merged exactly like the scan path does lazily:
+    conv kernels (k, R, G) -> (k*R, G); out+skip kernels concatenated."""
+    L = hp.layers
+    weights = {}
+    fc = params['first_conv']
+    weights['first_w'] = fc['kernel'].astype(jnp.float32)      # (1, R) scalar input
+    weights['first_b'] = fc['bias'].astype(jnp.float32)
+
+    w_tap, b_tap, w_os, b_os, w_c, b_c = [], [], [], [], [], []
+    for i in range(L):
+        blk = params[f'residual_block_{i + 1}']
+        kk = blk['causal_conv']['kernel']                       # (k, R, G)
+        w_tap.append(kk.reshape(-1, kk.shape[-1]))              # (k*R, G)
+        b_tap.append(blk['causal_conv']['bias'])
+        w_os.append(jnp.concatenate([blk['conv1x1_out']['kernel'],
+                                     blk['conv1x1_skip']['kernel']], axis=1))
+        b_os.append(jnp.concatenate([blk['conv1x1_out']['bias'],
+                                     blk['conv1x1_skip']['bias']]))
+        w_c.append(blk['conv1x1c']['kernel'])                   # (cin, G)
+        b_c.append(blk['conv1x1c']['bias'])
+
+    weights['w_tap'] = jnp.stack(w_tap).astype(jnp.bfloat16)    # (L, k*R, G)
+    weights['b_tap'] = jnp.stack(b_tap).astype(jnp.float32)     # (L, G)
+    weights['w_os'] = jnp.stack(w_os).astype(jnp.bfloat16)      # (L, G/2, R+S)
+    weights['b_os'] = jnp.stack(b_os).astype(jnp.float32)       # (L, R+S)
+    # merged conditioning projection, input rows zero-padded to the lane width so
+    # the padded c_t can be used without slicing: (128, L*G)
+    wc = jnp.stack(w_c, axis=1).reshape(hp.cin_channels, -1)
+    weights['w_cond'] = jnp.pad(wc, ((0, 128 - hp.cin_channels), (0, 0))).astype(jnp.bfloat16)
+    weights['b_cond'] = jnp.concatenate(b_c).astype(jnp.float32)  # (L*G,)
+    weights['w_s1'] = params['skip_conv1']['kernel'].astype(jnp.bfloat16)
+    weights['b_s1'] = params['skip_conv1']['bias'].astype(jnp.float32)
+    weights['w_s2'] = params['skip_conv2']['kernel'].astype(jnp.float32)  # (S, out)
+    weights['b_s2'] = params['skip_conv2']['bias'].astype(jnp.float32)
+    return weights
+
+
+def _dilations(hp: Hparams):
+    lps = hp.layers // hp.stacks
+    return [2 ** (i % lps) for i in range(hp.layers)]
+
+
+def _make_kernel(hp: Hparams, T: int, B: int):
+    L = hp.layers
+    R = hp.residual_channels
+    G = hp.gate_channels
+    S = hp.skip_out_channels
+    half = G // 2
+    cin = hp.cin_channels
+    out_ch = hp.out_channels
+    k = hp.kernel_size
+    dils = _dilations(hp)
+    buf_sizes = [(k - 1) * d for d in dils]  # leading dim is untiled: exact size
+    n_chunks = T // CHUNK
+    legacy = hp.legacy
+    res_legacy = hp.residual_legacy
+    sqrt_half = float(np.sqrt(0.5))
+    gaussian = out_ch == 2
+    nr = 1 if gaussian else out_ch // 3
+    log_scale_min = float(hp.log_scale_min_gauss if gaussian else hp.log_scale_min)
+
+    def kernel(c_hbm, noise_hbm, first_w, first_b, w_tap, b_tap, w_os, b_os,
+               w_cond, b_cond, w_s1, b_s1, w_s2, b_s2,
+               samples_hbm, params_hbm,
+               c_vmem, noise_vmem, samples_vmem, params_vmem, prev_ref,
+               copy_sem, out_sem, *bufs):
+        # zero ring buffers + initial input
+        for buf in bufs:
+            buf[:] = jnp.zeros_like(buf)
+        prev_ref[:] = jnp.zeros_like(prev_ref)
+
+        def chunk_body(ci, _):
+            # synchronous slab DMA (0.2-0.5 MB per 128 steps; negligible vs compute)
+            cin_dma = pltpu.make_async_copy(
+                c_hbm.at[pl.ds(ci * CHUNK, CHUNK)], c_vmem, copy_sem)
+            cin_dma.start()
+            cin_dma.wait()
+            n_dma = pltpu.make_async_copy(
+                noise_hbm.at[pl.ds(ci * CHUNK, CHUNK)], noise_vmem, copy_sem)
+            n_dma.start()
+            n_dma.wait()
+
+            def step_body(si, _):
+                t = ci * CHUNK + si
+                x_prev = prev_ref[:]                              # (B_PAD, 1) f32
+                h = x_prev * first_w[0, :] + first_b[:]           # (B_PAD, R)
+
+                c_t = c_vmem[si, :, :]                            # (B_PAD, 128) padded
+                cond_all = jnp.dot(c_t.astype(jnp.bfloat16), w_cond[:],
+                                   preferred_element_type=jnp.float32) + b_cond[:]
+
+                skips = jnp.zeros((B_PAD, S), jnp.float32)
+                for li in range(L):
+                    d = dils[li]
+                    size = buf_sizes[li]
+                    win = (k - 1) * d
+                    buf = bufs[li]                                 # (size, B_PAD, R)
+                    taps = []
+                    for j in range(k - 1):
+                        m = (k - 1 - j) * d
+                        slot = jax.lax.rem(t + win - m, win)
+                        taps.append(buf[pl.ds(slot, 1)][0])
+                    # overwrite the oldest slot with the current input
+                    buf[pl.ds(jax.lax.rem(t, win), 1)] = h[None].astype(buf.dtype)
+                    tap_cat = jnp.concatenate(
+                        [tp.astype(jnp.bfloat16) for tp in taps]
+                        + [h.astype(jnp.bfloat16)], axis=1)        # (B_PAD, k*R)
+                    z = jnp.dot(tap_cat, w_tap[li, :, :],
+                                preferred_element_type=jnp.float32) + b_tap[li, :]
+                    z = z + cond_all[:, li * G:(li + 1) * G]
+                    gated = jnp.tanh(z[:, :half]) * jax.nn.sigmoid(z[:, half:])
+                    y = jnp.dot(gated.astype(jnp.bfloat16), w_os[li, :, :],
+                                preferred_element_type=jnp.float32) + b_os[li, :]
+                    x_out, s = y[:, :R], y[:, R:]
+                    h = (x_out + h) * (sqrt_half if res_legacy else 1.0)
+                    skips = skips + s
+                    if legacy and li > 0:
+                        skips = skips * sqrt_half
+                    elif legacy and li == 0:
+                        pass  # first skip enters unscaled (reference wavenet.py:833)
+
+                o = jnp.maximum(skips, 0.0)
+                o = jnp.maximum(
+                    jnp.dot(o.astype(jnp.bfloat16), w_s1[:],
+                            preferred_element_type=jnp.float32) + b_s1[:], 0.0)
+                params_t = jnp.dot(o, w_s2[:],
+                                   preferred_element_type=jnp.float32) + b_s2[:]
+
+                noise_t = noise_vmem[si, :, :]                    # (B_PAD, nr+1)
+                if gaussian:
+                    mean = params_t[:, 0]
+                    logs = jnp.maximum(params_t[:, 1], log_scale_min)
+                    sample = mean + jnp.exp(logs) * noise_t[:, 0]
+                else:
+                    logits = params_t[:, :nr] + noise_t[:, 1:1 + nr]  # gumbel added
+                    kmax = jnp.max(logits, axis=1, keepdims=True)
+                    onehot = (logits >= kmax).astype(jnp.float32)
+                    onehot = onehot / jnp.sum(onehot, axis=1, keepdims=True)
+                    mean = jnp.sum(params_t[:, nr:2 * nr] * onehot, axis=1)
+                    logs = jnp.maximum(
+                        jnp.sum(params_t[:, 2 * nr:3 * nr] * onehot, axis=1),
+                        log_scale_min)
+                    sample = mean + jnp.exp(logs) * noise_t[:, 0]
+                sample = jnp.clip(sample, -1.0, 1.0)
+
+                samples_vmem[si, :] = jnp.pad(sample, (0, LANE - B_PAD))
+                params_vmem[si, :, :] = jnp.pad(params_t,
+                                                ((0, 0), (0, LANE - out_ch)))
+                prev_ref[:] = sample[:, None]
+                return 0
+
+            jax.lax.fori_loop(0, CHUNK, step_body, 0)
+
+            out_dma = pltpu.make_async_copy(
+                samples_vmem, samples_hbm.at[pl.ds(ci * CHUNK, CHUNK)], out_sem)
+            out_dma.start()
+            out_dma.wait()
+            p_dma = pltpu.make_async_copy(
+                params_vmem, params_hbm.at[pl.ds(ci * CHUNK, CHUNK)], out_sem)
+            p_dma.start()
+            p_dma.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    return kernel, buf_sizes, nr
+
+
+@partial(jax.jit, static_argnames=('hp', 'interpret'))
+def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
+                noise: jnp.ndarray, hp: Hparams, interpret: bool = False
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the AR kernel.
+
+    Args:
+        weights: pack_params output.
+        c_up: (B, T, cin) upsampled conditioning (already [0,1]-normalized).
+        noise: (B, T, nr+1) pre-sampled noise: column 0 is the Gaussian eps /
+            logistic noise, columns 1..nr are MoL Gumbel noise (unused for Gaussian).
+    Returns: (audio (B, T), params (B, T, out_channels)).
+    """
+    B, T, cin = c_up.shape
+    assert B <= B_PAD, f'kernel supports batch <= {B_PAD}'
+    T_pad = _round_up(T, CHUNK)
+    R = hp.residual_channels
+
+    c_in = jnp.zeros((T_pad, B_PAD, LANE), jnp.float32)
+    c_in = c_in.at[:T, :B, :cin].set(jnp.transpose(c_up, (1, 0, 2)))
+    n_in = jnp.zeros((T_pad, B_PAD, LANE), jnp.float32)
+    n_in = n_in.at[:T, :B, :noise.shape[-1]].set(jnp.transpose(noise, (1, 0, 2)))
+
+    kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B)
+
+    scratch = [
+        pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # c slab
+        pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # noise slab
+        pltpu.VMEM((CHUNK, LANE), jnp.float32),                # samples slab
+        pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # params slab
+        pltpu.VMEM((B_PAD, 1), jnp.float32),                   # previous sample
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA(()),
+    ] + [pltpu.VMEM((s, B_PAD, R), jnp.float32) for s in buf_sizes]
+
+    samples, params = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((T_pad, LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((T_pad, B_PAD, LANE), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),        # c stays in HBM
+                  pl.BlockSpec(memory_space=pltpu.ANY)]        # noise stays in HBM
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True,
+                                             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(c_in, n_in,
+      weights['first_w'], weights['first_b'], weights['w_tap'], weights['b_tap'],
+      weights['w_os'], weights['b_os'], weights['w_cond'], weights['b_cond'],
+      weights['w_s1'], weights['b_s1'], weights['w_s2'], weights['b_s2'])
+
+    audio = samples[:T, :B].T
+    return audio, jnp.transpose(params[:T, :B, :hp.out_channels], (1, 0, 2))
+
+
+def make_noise(hp: Hparams, rng: jax.Array, B: int, T: int) -> jnp.ndarray:
+    """Pre-sample distribution noise in the layout generate_ar expects."""
+    if hp.out_channels == 2:
+        eps = jax.random.normal(rng, (B, T, 1))
+        return eps
+    nr = hp.out_channels // 3
+    k1, k2 = jax.random.split(rng)
+    u = jax.random.uniform(k1, (B, T, 1), minval=1e-5, maxval=1.0 - 1e-5)
+    logistic = jnp.log(u) - jnp.log(1.0 - u)
+    gu = jax.random.uniform(k2, (B, T, nr), minval=1e-5, maxval=1.0 - 1e-5)
+    gumbel = -jnp.log(-jnp.log(gu))
+    return jnp.concatenate([logistic, gumbel], axis=-1)

@@ -116,10 +116,29 @@ def eval_teacher_forced_step(state: WaveNetTrainState, batch: Dict[str, Any],
 
 def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
              g: Optional[jnp.ndarray] = None, synthesis_length: Optional[int] = None,
-             targets: Optional[jnp.ndarray] = None, dtype=jnp.float32
-             ) -> Dict[str, jnp.ndarray]:
-    """Autoregressive generation (jit-compiled per shape)."""
+             targets: Optional[jnp.ndarray] = None, dtype=jnp.float32,
+             use_pallas: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
+    """Autoregressive generation.
+
+    Dispatches to the on-chip Pallas AR kernel when the config supports it (scalar
+    input, local conditioning, no global conditioning, free-running); otherwise the
+    lax.scan path. Set use_pallas=False to force the scan path."""
+    from ..ops.pallas import wavenet_ar
+
     model = WaveNet(hp, dtype=dtype)
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    if use_pallas is None:
+        use_pallas = (on_tpu and targets is None and c is not None
+                      and c.shape[0] <= wavenet_ar.B_PAD and wavenet_ar.supports(hp))
+    if use_pallas:
+        c_up = jax.jit(partial(model.apply, method=WaveNet.upsample_conditioning))(
+            {'params': params}, c)
+        B, T = c_up.shape[0], c_up.shape[1]
+        noise = wavenet_ar.make_noise(hp, rng, B, T)
+        weights = wavenet_ar.pack_params(params, hp)
+        audio, dist_params = wavenet_ar.generate_ar(weights, c_up, noise, hp,
+                                                    interpret=not on_tpu)
+        return dict(audio=audio, params=dist_params)
     return model.apply({'params': params}, rng, c, g, synthesis_length, None, targets,
                        method=WaveNet.incremental)
 
