@@ -114,6 +114,37 @@ def eval_teacher_forced_step(state: WaveNetTrainState, batch: Dict[str, Any],
     return dict(loss=compute_wavenet_loss(hp, y_hat, y, mask), y_hat=y_hat)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _fast_generate_fn(hp: Hparams, dtype, interpret: bool):
+    """Jitted pallas-path generator; cached so repeat calls don't retrace."""
+    from ..ops.pallas import wavenet_ar
+    model = WaveNet(hp, dtype=dtype)
+
+    @jax.jit
+    def fn(params, c, rng):
+        c_up = model.apply({'params': params}, c,
+                           method=WaveNet.upsample_conditioning)
+        noise = wavenet_ar.make_noise(hp, rng, c.shape[0], c_up.shape[1])
+        weights = wavenet_ar.pack_params(params, hp)
+        return wavenet_ar.generate_ar(weights, c_up, noise, hp, interpret=interpret)
+    return fn
+
+
+@lru_cache(maxsize=8)
+def _scan_generate_fn(hp: Hparams, dtype, with_c: bool, with_g: bool,
+                      with_targets: bool, synthesis_length: Optional[int]):
+    model = WaveNet(hp, dtype=dtype)
+
+    @jax.jit
+    def fn(params, rng, c, g, targets):
+        return model.apply({'params': params}, rng, c, g, synthesis_length, None,
+                           targets, method=WaveNet.incremental)
+    return fn
+
+
 def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
              g: Optional[jnp.ndarray] = None, synthesis_length: Optional[int] = None,
              targets: Optional[jnp.ndarray] = None, dtype=jnp.float32,
@@ -125,22 +156,16 @@ def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
     lax.scan path. Set use_pallas=False to force the scan path."""
     from ..ops.pallas import wavenet_ar
 
-    model = WaveNet(hp, dtype=dtype)
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     if use_pallas is None:
         use_pallas = (on_tpu and targets is None and c is not None
                       and c.shape[0] <= wavenet_ar.B_PAD and wavenet_ar.supports(hp))
     if use_pallas:
-        c_up = jax.jit(partial(model.apply, method=WaveNet.upsample_conditioning))(
-            {'params': params}, c)
-        B, T = c_up.shape[0], c_up.shape[1]
-        noise = wavenet_ar.make_noise(hp, rng, B, T)
-        weights = wavenet_ar.pack_params(params, hp)
-        audio, dist_params = wavenet_ar.generate_ar(weights, c_up, noise, hp,
-                                                    interpret=not on_tpu)
+        audio, dist_params = _fast_generate_fn(hp, dtype, not on_tpu)(params, c, rng)
         return dict(audio=audio, params=dist_params)
-    return model.apply({'params': params}, rng, c, g, synthesis_length, None, targets,
-                       method=WaveNet.incremental)
+    fn = _scan_generate_fn(hp, dtype, c is not None, g is not None,
+                           targets is not None, synthesis_length)
+    return fn(params, rng, c, g, targets)
 
 
 def make_jitted_steps(hp: Hparams, mesh, dtype=jnp.float32):
