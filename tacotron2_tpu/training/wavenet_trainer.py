@@ -177,3 +177,12 @@ def make_jitted_steps(hp: Hparams, mesh, dtype=jnp.float32):
     je = jax.jit(partial(eval_teacher_forced_step, hp=hp, dtype=dtype),
                  in_shardings=(rep, data), out_shardings=rep)
     return jt, je
+
+
+def make_tp_train_step(hp: Hparams, mesh, dtype=jnp.float32):
+    """Tensor-parallel (data x model mesh) train step.
+
+    The state arrives pre-placed by sharding_rules.shard_wavenet_state (gate-sharded
+    kernels); layouts propagate from the arguments, and GSPMD inserts the collectives
+    for the row-parallel out/skip projections and the gradient all-reduce."""
+    return jax.jit(partial(train_step, hp=hp, dtype=dtype), donate_argnums=(0,))
