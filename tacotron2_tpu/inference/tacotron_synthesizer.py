@@ -87,6 +87,14 @@ class Synthesizer:
         """Synthesize a batch. Returns list of saved mel paths (+ speaker ids)."""
         hp = self._hp
         rng = jax.random.PRNGKey(hp.tacotron_random_seed)
+        # pad the batch to the synthesis batch size by repeating the last sample
+        # (reference synthesizer.py:81-85) — keeps one static XLA batch shape
+        n_real = len(texts)
+        bs = hp.tacotron_synthesis_batch_size
+        if n_real < bs:
+            texts = list(texts) + [texts[-1]] * (bs - n_real)
+            if mel_filenames is not None:
+                mel_filenames = list(mel_filenames) + [mel_filenames[-1]] * (bs - n_real)
         seqs = [np.asarray(text_to_sequence(t, self._cleaners), np.int32) for t in texts]
         input_lengths = np.asarray([len(s) for s in seqs], np.int32)
         T_in = _round_up(int(input_lengths.max()), hp.pad_text_multiple)
@@ -125,6 +133,7 @@ class Synthesizer:
         mels_out = np.clip(mels_out, lo, hi)
 
         saved_mels = []
+        basenames = basenames[:n_real]  # drop padding replicas
         for i, basename in enumerate(basenames):
             L = int(out_lengths[i])
             mel = mels_out[i][:L]

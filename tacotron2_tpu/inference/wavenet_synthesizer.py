@@ -74,9 +74,21 @@ class Synthesizer:
         c = jnp.asarray(self._prepare_conditions(mel_spectrograms))
         g = jnp.asarray(np.asarray(speaker_ids, np.int32)) if speaker_ids is not None else None
 
+        targets = None
+        if hp.wavenet_synth_debug:
+            # teacher-forced debug generation against known wavs
+            # (reference hparams.py:370-372, synthesizer.py:83-94)
+            debug_wavs = [np.load(p) for p in hp.wavenet_debug_wavs]
+            T = int(c.shape[1]) * hop
+            tgt = np.zeros((int(c.shape[0]), T), np.float32)
+            for i, w in enumerate(debug_wavs[:int(c.shape[0])]):
+                n = min(len(w), T)
+                tgt[i, :n] = np.asarray(w, np.float32)[:n]
+            targets = jnp.asarray(tgt)
+
         start = time.time()
         out = wt.generate(self._params, hp, jax.random.PRNGKey(hp.wavenet_random_seed),
-                          c, g)
+                          c, g, targets=targets)
         generated = np.asarray(out['audio'])
         elapsed = time.time() - start
         total = sum(lengths)

@@ -23,13 +23,13 @@ Dtype = Any
 
 
 def _maybe_weight_norm(module: 'nn.Module', v: jnp.ndarray) -> jnp.ndarray:
-    """Reparameterize kernel v (..., out) as g * v/||v|| when weight_normalization."""
+    """Reparameterize kernel v (..., out) as g * v/||v|| when weight_normalization.
+    The `wn_g` param is created in the module's setup()."""
     if not module.weight_normalization:
         return v
     axes = tuple(range(v.ndim - 1))
-    g = module.param('wn_g', nn.initializers.ones, (v.shape[-1],), jnp.float32)
     norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True) + 1e-8)
-    return g * v / norm
+    return module.wn_g * v / norm
 
 
 class Conv1x1(nn.Module):
@@ -45,6 +45,9 @@ class Conv1x1(nn.Module):
                                    (self.in_features, self.features), jnp.float32)
         if self.use_bias:
             self.bias = self.param('bias', nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+        if self.weight_normalization:
+            self.wn_g = self.param('wn_g', nn.initializers.ones,
                                    (self.features,), jnp.float32)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,6 +82,9 @@ class CausalConv1D(nn.Module):
             (self.kernel_size, self.in_features, self.features), jnp.float32)
         if self.use_bias:
             self.bias = self.param('bias', nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+        if self.weight_normalization:
+            self.wn_g = self.param('wn_g', nn.initializers.ones,
                                    (self.features,), jnp.float32)
 
     def _kernel(self):

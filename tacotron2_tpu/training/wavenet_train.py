@@ -122,6 +122,15 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
         log('Restored WaveNet checkpoint at step {}'.format(int(state.step)), slack=True)
     else:
         log('Starting new WaveNet training!', slack=True)
+        if hp.wavenet_weight_normalization:
+            # data-dependent weight-norm init on one real batch
+            # (reference wavenet_vocoder/train.py:287-298)
+            from .weight_norm_init import data_dependent_init
+            log('Running weight-norm data-dependent initialization..')
+            new_params = data_dependent_init(state.params, example, hp)
+            ema = jax.tree_util.tree_map(lambda x: jnp.asarray(x).copy(), new_params)
+            state = state.replace(params=new_params, ema_params=ema,
+                                  opt_state=wt.make_optimizer(hp).init(new_params))
 
     state = mesh_lib.replicate(state, mesh)
     train_step, eval_tf_step = wt.make_jitted_steps(hp, mesh)
@@ -172,6 +181,17 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
                     writer.add_scalar('eval/loss', float(m['loss']), step)
                 eval_step(jax.device_get(state), test_batches[0], hp,
                           eval_plot_dir, eval_wav_dir, step, writer)
+
+            if (getattr(args, 'embedding_interval', 0) and hp.gin_channels > 0 and
+                    step % args.embedding_interval == 0 and writer is not None):
+                # speaker-embedding projector (reference train.py:327-334)
+                try:
+                    emb = np.asarray(jax.device_get(
+                        state.params['gc_embedding']['embedding']))
+                    writer.add_embedding(emb, metadata=list(hp.speakers)[:emb.shape[0]],
+                                         global_step=step, tag='speaker_embedding')
+                except Exception as e:
+                    log(f'speaker embedding projection skipped: {e}')
 
             if (step % args.checkpoint_interval == 0 or
                     step == args.wavenet_train_steps):
