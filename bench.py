@@ -24,10 +24,8 @@ import numpy as np
 
 
 def main():
-    try:
-        jax.config.update('jax_default_prng_impl', 'rbg')
-    except Exception:
-        pass
+    from tacotron2_tpu.utils.runtime import setup_runtime
+    setup_runtime()
     from tacotron2_tpu.config import default_hparams
     from tacotron2_tpu.models.tacotron.model import Tacotron
     from tacotron2_tpu.models.wavenet.model import WaveNet

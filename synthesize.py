@@ -29,6 +29,8 @@ def synthesize(args, hparams, taco_checkpoint, wave_checkpoint, sentences):
 
 
 def main():
+    from tacotron2_tpu.utils.runtime import setup_runtime
+    setup_runtime()
     accepted_modes = ['eval', 'synthesis', 'live']
     parser = argparse.ArgumentParser()
     parser.add_argument('--checkpoint', default='pretrained/', help='Path to model checkpoint')

@@ -154,8 +154,14 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
             batch = next(batches)
             last_batch = batch
             sb = mesh_lib.shard_batch(batch, mesh)
+            profiling = getattr(args, 'profile_step', 0) == step + 1
+            if profiling:
+                log('\nCapturing profiler trace at step {}'.format(step + 1))
+                jax.profiler.start_trace(tensorboard_dir)
             state, metrics = train_step(state, sb, rng)
             loss = float(jax.device_get(metrics['loss']))
+            if profiling:
+                jax.profiler.stop_trace()
             step = int(jax.device_get(state.step))
             time_window.append(time.time() - start)
             loss_window.append(loss)

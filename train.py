@@ -29,13 +29,8 @@ def read_seq(file):
 
 
 def prepare_run(args):
-    # rbg PRNG is ~11% faster per train step than threefry on TPU (the decoder scan
-    # draws zoneout/dropout bits every step); streams differ but remain deterministic
-    import jax
-    try:
-        jax.config.update('jax_default_prng_impl', 'rbg')
-    except Exception:
-        pass
+    from tacotron2_tpu.utils.runtime import setup_runtime
+    setup_runtime()
     modified_hp = default_hparams()
     modified_hp.parse(args.hparams)
     run_name = args.name or args.model
@@ -122,6 +117,8 @@ def main():
                         help='total number of wavenet training steps')
     parser.add_argument('--tf_log_level', type=int, default=1, help='Tensorflow C++ log level.')
     parser.add_argument('--slack_url', default=None, help='slack webhook notification destination link')
+    parser.add_argument('--profile_step', type=int, default=0,
+                        help='capture a jax.profiler trace around this train step (0 = off)')
     args = parser.parse_args()
 
     accepted_models = ['Tacotron', 'WaveNet', 'Tacotron-2']
