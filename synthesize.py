@@ -73,9 +73,11 @@ def main():
     hparams = default_hparams()
     hparams.parse(args.hparams)
 
-    taco_pretrained = os.path.join('logs-' + (args.tacotron_name or args.name or args.model),
+    taco_pretrained = os.path.join(args.base_dir,
+                                   'logs-' + (args.tacotron_name or args.name or args.model),
                                    'taco_pretrained') if args.model != 'WaveNet' else None
-    wave_pretrained = os.path.join('logs-' + (args.wavenet_name or args.name or args.model),
+    wave_pretrained = os.path.join(args.base_dir,
+                                   'logs-' + (args.wavenet_name or args.name or args.model),
                                    'wave_pretrained') if args.model != 'Tacotron' else None
 
     sentences = get_sentences(args, hparams)

@@ -90,11 +90,14 @@ class WaveNetDataset:
         return (audio_data, c, g, len(audio_data))
 
     def _resolve(self, path: str, subdir: str) -> str:
-        """Resolve a metadata path: absolute/relative as written, else under the
-        metadata dir's artifact subdir (bare filenames from train.txt rows)."""
+        """Resolve a metadata path: joined with base_dir, as written (map rows may
+        already embed base_dir), or under the metadata dir's artifact subdir (bare
+        filenames from train.txt rows)."""
         cand = os.path.join(self._base_dir, path)
         if os.path.isfile(cand):
             return cand
+        if os.path.isfile(path):
+            return path
         return os.path.join(self._base_dir, subdir, path)
 
     def _max_time_steps(self) -> Optional[int]:

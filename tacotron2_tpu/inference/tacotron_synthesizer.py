@@ -220,7 +220,9 @@ def run_synthesis(args, checkpoint_dir, output_dir, hparams):
     synth_dir = os.path.join(output_dir, 'gta' if gta else 'natural')
     os.makedirs(synth_dir, exist_ok=True)
 
-    metadata_filename = os.path.join(args.input_dir, 'train.txt')
+    input_dir = args.input_dir if os.path.isabs(args.input_dir) else \
+        os.path.join(getattr(args, 'base_dir', ''), args.input_dir)
+    metadata_filename = os.path.join(input_dir, 'train.txt')
     with open(metadata_filename, encoding='utf-8') as f:
         metadata = [line.strip().split('|') for line in f]
     frame_shift_ms = hparams.get_hop_size() / hparams.sample_rate
@@ -231,8 +233,8 @@ def run_synthesis(args, checkpoint_dir, output_dir, hparams):
     synth.load(checkpoint_dir, hparams, gta=gta)
 
     bs = hparams.tacotron_synthesis_batch_size
-    mel_dir = os.path.join(args.input_dir, 'mels')
-    wav_dir = os.path.join(args.input_dir, 'audio')
+    mel_dir = os.path.join(input_dir, 'mels')
+    wav_dir = os.path.join(input_dir, 'audio')
 
     with open(os.path.join(synth_dir, 'map.txt'), 'w', encoding='utf-8') as f:
         for i in range(0, len(metadata), bs):
@@ -275,7 +277,7 @@ def run_live(args, checkpoint_dir, hparams):
 
 
 def tacotron_synthesize(args, hparams, checkpoint, sentences=None):
-    output_dir = 'tacotron_' + args.output_dir
+    output_dir = os.path.join(getattr(args, 'base_dir', ''), 'tacotron_' + args.output_dir)
     if args.mode == 'eval':
         return run_eval(args, checkpoint, output_dir, hparams, sentences)
     elif args.mode == 'synthesis':

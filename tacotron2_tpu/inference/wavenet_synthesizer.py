@@ -22,9 +22,6 @@ from ..utils import plot
 from ..utils.infolog import log
 
 
-def _round_up(x: int, m: int) -> int:
-    return x if x % m == 0 else x + m - x % m
-
 
 class Synthesizer:
     def load(self, checkpoint_dir: str, hparams: Hparams):

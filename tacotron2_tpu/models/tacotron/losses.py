@@ -2,7 +2,7 @@
 tacotron.py:273-369): masked/unmasked mel MSE, weighted stop-token CE, linear L1 with
 <2 kHz priority, and the L2 regularization variable filter."""
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ local conditioning with all 5 upsampling variants, global (speaker) conditioning
 legacy skip/residual scaling, and the receptive-field computation.
 """
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from flax import linen as nn
 from ...config import Hparams
 from ...ops.mulaw import is_mulaw_quantize, is_scalar_input
 from . import distributions as dist
-from .modules import (CausalConv1D, Conv1x1, Embedding, ResidualConv1DGLU,
+from .modules import (Conv1x1, Embedding, ResidualConv1DGLU,
                       UpsampleNetwork, receptive_field_size)
 
 

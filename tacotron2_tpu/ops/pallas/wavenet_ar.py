@@ -19,7 +19,7 @@ Gaussian (out_channels==2) or MoL (out_channels==3*nr) output, local conditionin
 required, no global conditioning (falls back to the scan path otherwise).
 """
 
-import math
+
 from functools import partial
 from typing import Dict, Tuple
 

@@ -7,7 +7,7 @@ averaging across devices is XLA's all-reduce instead of in-graph tower math.
 """
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

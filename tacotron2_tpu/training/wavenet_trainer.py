@@ -17,7 +17,7 @@ from flax import core, struct
 
 from ..config import Hparams
 from ..models.wavenet.model import WaveNet, compute_wavenet_loss
-from ..ops.mulaw import is_mulaw_quantize
+
 from ..parallel import mesh as mesh_lib
 from . import schedules
 
