@@ -33,7 +33,8 @@ from ...config import Hparams
 
 CHUNK = 128     # steps per HBM<->VMEM slab
 LANE = 128      # TPU lane width: HBM<->VMEM DMA slices must be lane-aligned
-B_PAD = 8       # batch rows padded to the f32 sublane tile
+B_MAX = 32      # max batch the kernel supports (VMEM ring-buffer budget ~70 MB)
+SUBLANE = 8     # batch rows padded to the f32 sublane tile
 
 
 def supports(hp: Hparams) -> bool:
@@ -95,7 +96,7 @@ def _dilations(hp: Hparams):
     return [2 ** (i % lps) for i in range(hp.layers)]
 
 
-def _make_kernel(hp: Hparams, T: int, B: int):
+def _make_kernel(hp: Hparams, T: int, B_PAD: int):
     L = hp.layers
     R = hp.residual_channels
     G = hp.gate_channels
@@ -198,7 +199,7 @@ def _make_kernel(hp: Hparams, T: int, B: int):
                     sample = mean + jnp.exp(logs) * noise_t[:, 0]
                 sample = jnp.clip(sample, -1.0, 1.0)
 
-                samples_vmem[si, :] = jnp.pad(sample, (0, LANE - B_PAD))
+                samples_vmem[si, :] = jnp.pad(sample, (0, LANE - B_PAD))  # B_PAD<=32<LANE
                 params_vmem[si, :, :] = jnp.pad(params_t,
                                                 ((0, 0), (0, LANE - out_ch)))
                 prev_ref[:] = sample[:, None]
@@ -235,7 +236,8 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     Returns: (audio (B, T), params (B, T, out_channels)).
     """
     B, T, cin = c_up.shape
-    assert B <= B_PAD, f'kernel supports batch <= {B_PAD}'
+    assert B <= B_MAX, f'kernel supports batch <= {B_MAX}'
+    B_PAD = max(SUBLANE, _round_up(B, SUBLANE))
     T_pad = _round_up(T, CHUNK)
     R = hp.residual_channels
 
@@ -244,7 +246,7 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     n_in = jnp.zeros((T_pad, B_PAD, LANE), jnp.float32)
     n_in = n_in.at[:T, :B, :noise.shape[-1]].set(jnp.transpose(noise, (1, 0, 2)))
 
-    kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B)
+    kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD)
 
     scratch = [
         pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # c slab

@@ -159,7 +159,7 @@ def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     if use_pallas is None:
         use_pallas = (on_tpu and targets is None and c is not None
-                      and c.shape[0] <= wavenet_ar.B_PAD and wavenet_ar.supports(hp))
+                      and c.shape[0] <= wavenet_ar.B_MAX and wavenet_ar.supports(hp))
     if use_pallas:
         audio, dist_params = _fast_generate_fn(hp, dtype, not on_tpu)(params, c, rng)
         return dict(audio=audio, params=dist_params)
