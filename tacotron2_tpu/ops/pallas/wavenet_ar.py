@@ -115,10 +115,12 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int):
     nr = 1 if gaussian else out_ch // 3
     log_scale_min = float(hp.log_scale_min_gauss if gaussian else hp.log_scale_min)
 
+    chunk_cond = B_PAD <= 16  # slab (CHUNK, B_PAD, L*G) bf16 must fit in VMEM
+
     def kernel(c_hbm, noise_hbm, first_w, first_b, w_tap, b_tap, w_os, b_os,
                w_cond, b_cond, w_s1, b_s1, w_s2, b_s2,
                samples_hbm, params_hbm,
-               c_vmem, noise_vmem, samples_vmem, params_vmem, prev_ref,
+               c_vmem, noise_vmem, samples_vmem, params_vmem, prev_ref, cond_vmem,
                copy_sem, out_sem, *bufs):
         # zero ring buffers + initial input
         for buf in bufs:
@@ -136,14 +138,26 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int):
             n_dma.start()
             n_dma.wait()
 
+            if chunk_cond:
+                # conditioning projections for the whole slab in one MXU matmul,
+                # off the per-step critical path
+                flat = c_vmem[:].reshape(CHUNK * B_PAD, LANE).astype(jnp.bfloat16)
+                cond_vmem[:] = (jnp.dot(flat, w_cond[:],
+                                        preferred_element_type=jnp.float32)
+                                + b_cond[:]).reshape(CHUNK, B_PAD, L * G) \
+                    .astype(jnp.bfloat16)
+
             def step_body(si, _):
                 t = ci * CHUNK + si
                 x_prev = prev_ref[:]                              # (B_PAD, 1) f32
                 h = x_prev * first_w[0, :] + first_b[:]           # (B_PAD, R)
 
-                c_t = c_vmem[si, :, :]                            # (B_PAD, 128) padded
-                cond_all = jnp.dot(c_t.astype(jnp.bfloat16), w_cond[:],
-                                   preferred_element_type=jnp.float32) + b_cond[:]
+                if chunk_cond:
+                    cond_all = cond_vmem[si, :, :].astype(jnp.float32)
+                else:
+                    c_t = c_vmem[si, :, :]                        # (B_PAD, 128) padded
+                    cond_all = jnp.dot(c_t.astype(jnp.bfloat16), w_cond[:],
+                                       preferred_element_type=jnp.float32) + b_cond[:]
 
                 skips = jnp.zeros((B_PAD, S), jnp.float32)
                 for li in range(L):
@@ -254,6 +268,8 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         pltpu.VMEM((CHUNK, LANE), jnp.float32),                # samples slab
         pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # params slab
         pltpu.VMEM((B_PAD, 1), jnp.float32),                   # previous sample
+        pltpu.VMEM((CHUNK, min(B_PAD, 16), hp.layers * hp.gate_channels),
+                   jnp.bfloat16),                              # chunk cond slab
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
     ] + [pltpu.VMEM((s, B_PAD, R), jnp.float32) for s in buf_sizes]
