@@ -42,12 +42,12 @@ def make_optimizer(hp: Hparams) -> optax.GradientTransformation:
         def trainable(path_tuple) -> bool:
             name = '/'.join(str(getattr(p, 'key', p)) for p in path_tuple).lower()
             return not ('inputs_embedding' in name or 'encoder_' in name)
-        def mask_fn(params):
-            flat = jax.tree_util.tree_flatten_with_path(params)[0]
-            paths = {jax.tree_util.keystr(p): trainable(p) for p, _ in flat}
+
+        def label_fn(params):
             return jax.tree_util.tree_map_with_path(
-                lambda p, _: paths[jax.tree_util.keystr(p)], params)
-        tx = optax.masked(tx, mask_fn)
+                lambda p, _: 'train' if trainable(p) else 'freeze', params)
+        tx = optax.multi_transform({'train': tx, 'freeze': optax.set_to_zero()},
+                                   label_fn)
     return tx
 
 
