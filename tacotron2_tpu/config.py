@@ -262,6 +262,10 @@ class Hparams:
             raise ValueError(f'unknown batch_norm_position: {self.batch_norm_position}')
         if self.tacotron_teacher_forcing_mode not in ('constant', 'scheduled'):
             raise ValueError(f'unknown teacher forcing mode: {self.tacotron_teacher_forcing_mode}')
+        if self.use_lws:
+            raise ValueError('use_lws is not supported: the LWS package is not part of '
+                             'this framework; the librosa-convention STFT/iSTFT path '
+                             'is used for both models')
 
     def get_hop_size(self) -> int:
         # reference: datasets/audio.py:223-228

@@ -194,7 +194,13 @@ class Tacotron(nn.Module):
             finished=jnp.zeros((B,), bool),
         )
 
-        scan = nn.scan(DecoderCell, variable_broadcast='params',
+        cell_cls = DecoderCell
+        if hp.remat_decoder:
+            # rematerialize the decoder step on the backward pass: trades recompute
+            # for activation memory (the TPU analog of the reference's
+            # tacotron_swap_with_cpu host-offload flag, tacotron.py:173)
+            cell_cls = nn.remat(DecoderCell, prevent_cse=False)
+        scan = nn.scan(cell_cls, variable_broadcast='params',
                        split_rngs={'params': False, 'dropout': True, 'zoneout': True},
                        in_axes=0, out_axes=0, length=T_steps)
         cell = scan(hp, deterministic, not is_synthesis, self.dtype, name='decoder')
