@@ -202,7 +202,8 @@ class Tacotron(nn.Module):
             cell_cls = nn.remat(DecoderCell, prevent_cse=False)
         scan = nn.scan(cell_cls, variable_broadcast='params',
                        split_rngs={'params': False, 'dropout': True, 'zoneout': True},
-                       in_axes=0, out_axes=0, length=T_steps)
+                       in_axes=0, out_axes=0, length=T_steps,
+                       unroll=hp.decoder_scan_unroll)
         cell = scan(hp, deterministic, not is_synthesis, self.dtype, name='decoder')
         final_carry, (frames, stop_logits, alignments) = cell(
             init_carry, (teacher_frames, use_teacher))
