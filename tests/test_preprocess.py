@@ -74,3 +74,24 @@ def test_mulaw_quantize_input_type(tmp_path, corpus, hp):
     arr = np.load(os.path.join(wav_dir, meta[0][0]))
     assert arr.dtype == np.int16
     assert arr.min() >= 0 and arr.max() <= 255
+
+
+def test_mailabs_tree_selection(tmp_path):
+    """M-AILABS language/voice/reader/book tree walk (reference preprocess.py:45-76)."""
+    from tacotron2_tpu.data import corpora
+    base = tmp_path
+    book_dir = base / 'en_US' / 'by_book' / 'female' / 'mary_ann' / 'northandsouth'
+    book2_dir = base / 'en_US' / 'by_book' / 'female' / 'mary_ann' / 'bleak_house'
+    book_dir.mkdir(parents=True)
+    book2_dir.mkdir(parents=True)
+    out = corpora.norm_data(str(base), 'M-AILABS', 'en_US', 'female', 'mary_ann',
+                            False, 'northandsouth')
+    assert out == [str(book_dir)]
+    merged = corpora.norm_data(str(base), 'M-AILABS', 'en_US', 'female', 'mary_ann',
+                               True)
+    assert sorted(merged) == sorted([str(book_dir), str(book2_dir)])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpora.norm_data(str(base), 'M-AILABS', 'xx_XX', 'female', 'mary_ann')
+    with _pytest.raises(ValueError):
+        corpora.norm_data(str(base), 'M-AILABS', 'en_US', 'female', 'nobody')
