@@ -30,6 +30,18 @@ def time_string():
     return datetime.now().strftime('%Y-%m-%d %H:%M')
 
 
+def _speaker_names(hp: Hparams):
+    """Speaker labels for the projector: speakers_path TSV (either 'name\\tid' with
+    header or single-column) or the hp.speakers list (reference hparams.py:231-233)."""
+    if hp.speakers_path:
+        with open(hp.speakers_path, encoding='utf-8') as f:
+            rows = [line.rstrip('\n').split('\t') for line in f if line.strip()]
+        if rows and len(rows[0]) > 1:
+            rows = rows[1:]  # drop header
+        return [r[0] for r in rows]
+    return list(hp.speakers)
+
+
 def _to_waveform(y: np.ndarray, hp: Hparams) -> np.ndarray:
     """Model-domain audio → float waveform."""
     if is_mulaw_quantize(hp.input_type):
@@ -194,7 +206,8 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
                 try:
                     emb = np.asarray(jax.device_get(
                         state.params['gc_embedding']['embedding']))
-                    writer.add_embedding(emb, metadata=list(hp.speakers)[:emb.shape[0]],
+                    writer.add_embedding(emb,
+                                         metadata=_speaker_names(hp)[:emb.shape[0]],
                                          global_step=step, tag='speaker_embedding')
                 except Exception as e:
                     log(f'speaker embedding projection skipped: {e}')

@@ -168,6 +168,44 @@ def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
     return fn(params, rng, c, g, targets)
 
 
+def generate_data_parallel(params, hp: Hparams, rng: jax.Array, c: jnp.ndarray,
+                           mesh) -> Dict[str, jnp.ndarray]:
+    """Scale-out synthesis: shard the batch over the mesh data axis, one Pallas AR
+    kernel per chip with replicated weights (aggregate throughput scales linearly).
+
+    Requires c.shape[0] divisible by the data-axis size and a kernel-supported config.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas import wavenet_ar
+
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    B = c.shape[0]
+    assert B % n_data == 0, f'batch {B} not divisible by data axis {n_data}'
+    assert wavenet_ar.supports(hp) and B // n_data <= wavenet_ar.B_MAX
+    model = WaveNet(hp)
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+
+    def per_shard(params, c_shard, rng):
+        c_up = model.apply({'params': params}, c_shard,
+                           method=WaveNet.upsample_conditioning)
+        noise = wavenet_ar.make_noise(hp, jax.random.fold_in(
+            rng, jax.lax.axis_index(mesh_lib.DATA_AXIS)), c_shard.shape[0],
+            c_up.shape[1])
+        weights = wavenet_ar.pack_params(params, hp)
+        audio, dist_params = wavenet_ar.generate_ar(weights, c_up, noise, hp,
+                                                    interpret=not on_tpu)
+        return audio, dist_params
+
+    fn = shard_map(per_shard, mesh=mesh,
+                   in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
+                   out_specs=(P(mesh_lib.DATA_AXIS), P(mesh_lib.DATA_AXIS)),
+                   check_rep=False)
+    audio, dist_params = jax.jit(fn)(params, c, rng)
+    return dict(audio=audio, params=dist_params)
+
+
 def make_jitted_steps(hp: Hparams, mesh, dtype=jnp.float32):
     rep = mesh_lib.replicated(mesh)
     data = mesh_lib.batch_sharding(mesh)

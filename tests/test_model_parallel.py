@@ -75,3 +75,23 @@ def test_sharding_spec_fallback_on_indivisible():
     shardings = wavenet_param_shardings(state.params, mesh)
     spec = shardings['residual_block_1']['causal_conv']['kernel'].spec
     assert spec == jax.sharding.PartitionSpec()  # fell back to replicated
+
+
+def test_data_parallel_generation():
+    """Sharded Pallas AR generation over the mesh data axis (interpret mode on CPU)."""
+    from tacotron2_tpu.ops.pallas import wavenet_ar
+    hp = default_hparams()
+    hp.parse("layers=4,stacks=2,residual_channels=8,gate_channels=16,skip_out_channels=8,"
+             "upsample_scales=[4,8],hop_size=32,win_size=128,n_fft=256")
+    hp.mesh_model_axis = 1
+    hp.mesh_data_axis = 4
+    assert wavenet_ar.supports(hp)
+    batch = make_batch(hp, B=4, Tc=4)
+    state = wt.create_train_state(hp, jax.random.PRNGKey(0), batch)
+    mesh = mesh_lib.make_mesh(hp, devices=jax.devices()[:4])
+    c = jnp.asarray(batch['mel_conditions'])
+    out = wt.generate_data_parallel(state.ema_params, hp, jax.random.PRNGKey(1), c, mesh)
+    assert out['audio'].shape == (4, 4 * hp.get_hop_size())
+    assert np.isfinite(np.asarray(out['audio'])).all()
+    # each shard ran on its own device
+    assert len({s.device for s in out['audio'].addressable_shards}) == 4
