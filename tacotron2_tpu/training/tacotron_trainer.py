@@ -105,11 +105,14 @@ def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array,
 
 def eval_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array,
               hp: Hparams, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
-    """Evaluation forward pass: teacher-forced unless hp.tacotron_natural_eval."""
+    """Evaluation forward pass. natural_eval forces ratio 0 (pure autoregressive);
+    otherwise eval uses the SAME teacher-forcing ratio as training at this step
+    (reference helpers.py:100-107)."""
     model = Tacotron(hp, dtype=dtype)
     rngs = {'dropout': rng, 'zoneout': jax.random.fold_in(rng, 1),
             'teacher': jax.random.fold_in(rng, 2)}
-    tfr = jnp.float32(0.0 if hp.tacotron_natural_eval else 1.0)
+    tfr = (jnp.float32(0.0) if hp.tacotron_natural_eval
+           else schedules.teacher_forcing_ratio(hp, state.step))
     outputs = model.apply({'params': state.params, 'batch_stats': state.batch_stats},
                           batch['inputs'], batch['input_lengths'],
                           mel_targets=batch['mel_targets'],

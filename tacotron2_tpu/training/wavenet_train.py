@@ -89,6 +89,26 @@ def eval_step(state, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
     log('Eval generation: {} samples in {:.3f} sec ({:.1f} samples/sec)'.format(
         len(audio_out), elapsed, frames_sec))
 
+    if hp.wavenet_natural_eval:
+        # score the autoregressive prediction against ground truth, UNSHIFTED —
+        # incremental y_hat[t] predicts y[t] (reference wavenet.py:497-506)
+        from ..models.wavenet import distributions as dist_mod
+        from ..ops.mulaw import is_mulaw_quantize as _is_q
+        y = jnp.asarray(batch['audio'][:1, :out['params'].shape[1]])
+        m = (jnp.arange(y.shape[1])[None, :] < L).astype(jnp.float32)
+        if _is_q(hp.input_type):
+            nat = dist_mod.masked_cross_entropy_loss(out['params'], y, m)
+        elif hp.out_channels == 2:
+            nat = dist_mod.gaussian_mle_loss(out['params'], y, hp.quantize_channels,
+                                             hp.log_scale_min_gauss, hp.cdf_loss, m)
+        else:
+            nat = dist_mod.discretized_mix_logistic_loss(out['params'], y,
+                                                         hp.quantize_channels,
+                                                         hp.log_scale_min, m)
+        log('Eval (natural) loss: {:.5f}'.format(float(nat)))
+        if writer is not None:
+            writer.add_scalar('eval/natural_loss', float(nat), step)
+
     pred_wav = _to_waveform(audio_out[:L], hp)
     target_wav = _to_waveform(np.asarray(batch['audio'][0][:L]), hp)
     audio.save_wav(pred_wav, os.path.join(eval_wav_dir, f'step-{step}-pred.wav'), hp.sample_rate)
