@@ -280,10 +280,6 @@ class Hparams:
     def get_win_size(self) -> int:
         return self.win_size if self.win_size is not None else self.n_fft
 
-    @property
-    def quantize_mu(self) -> int:
-        return self.quantize_channels - 1
-
     # ------------------------------------------------------------------
     def parse(self, override: str) -> 'Hparams':
         """Apply a comma-separated ``k=v`` override string in place (reference CLI parity,

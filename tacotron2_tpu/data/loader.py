@@ -27,13 +27,7 @@ from ..config import Hparams
 from ..text import text_to_sequence
 
 
-def _round_up(x: int, multiple: int) -> int:
-    r = x % multiple
-    return x if r == 0 else x + multiple - r
-
-
-def _round_down(x: int, multiple: int) -> int:
-    return x - (x % multiple)
+from ..utils import round_down as _round_down, round_up as _round_up  # noqa: E402
 
 
 class TacotronDataset:

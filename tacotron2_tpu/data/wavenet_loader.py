@@ -31,8 +31,7 @@ def _ensure_divisible(length: int, divisible_by: int, lower: bool = True) -> int
     return length + (divisible_by - length % divisible_by)
 
 
-def _round_down(x: int, multiple: int) -> int:
-    return x - (x % multiple)
+from ..utils import round_down as _round_down  # noqa: E402
 
 
 class WaveNetDataset:

@@ -31,8 +31,7 @@ from ..utils import plot
 from ..utils.infolog import log
 
 
-def _round_up(x: int, m: int) -> int:
-    return x if x % m == 0 else x + m - x % m
+from ..utils import round_up as _round_up  # noqa: E402
 
 
 class Synthesizer:

@@ -82,7 +82,8 @@ class LocationSensitiveAttention(nn.Module):
                 back = self.win_size // 2 + (self.win_size % 2 != 0)
                 fwd = self.win_size // 2
                 before = pos < prev_max_attention[:, None] - back
-                after = pos > prev_max_attention[:, None] + fwd
+                # reference masks pos >= prev + win//2 (attention.py:210)
+                after = pos >= prev_max_attention[:, None] + fwd
             energy = jnp.where(before | after, NEG_INF, energy)
 
         if memory_mask is not None:

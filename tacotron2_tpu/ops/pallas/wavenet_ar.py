@@ -47,8 +47,26 @@ def supports(hp: Hparams) -> bool:
             and hp.gate_channels % 2 == 0)
 
 
-def _round_up(x: int, m: int) -> int:
-    return x if x % m == 0 else x + m - x % m
+from ...utils import round_up as _round_up  # noqa: E402
+
+
+def _effective_kernel(conv_params: Dict) -> jnp.ndarray:
+    """Apply the weight-norm reparameterization when the conv carries wn_g
+    (mirrors modules._maybe_weight_norm so the kernel sees the same weights the
+    trained forward pass used)."""
+    v = conv_params['kernel']
+    if 'wn_g' not in conv_params:
+        return v
+    axes = tuple(range(v.ndim - 1))
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True) + 1e-8)
+    return conv_params['wn_g'] * v / norm
+
+
+def _bias(conv_params: Dict, features: int) -> jnp.ndarray:
+    """Bias, or zeros when use_bias=False (the kernel adds biases unconditionally)."""
+    if 'bias' in conv_params:
+        return conv_params['bias']
+    return jnp.zeros((features,), jnp.float32)
 
 
 def pack_params(params: Dict, hp: Hparams) -> Dict[str, jnp.ndarray]:
@@ -59,21 +77,21 @@ def pack_params(params: Dict, hp: Hparams) -> Dict[str, jnp.ndarray]:
     L = hp.layers
     weights = {}
     fc = params['first_conv']
-    weights['first_w'] = fc['kernel'].astype(jnp.float32)      # (1, R) scalar input
-    weights['first_b'] = fc['bias'].astype(jnp.float32)
+    weights['first_w'] = _effective_kernel(fc).astype(jnp.float32)  # (1, R) scalar in
+    weights['first_b'] = _bias(fc, hp.residual_channels).astype(jnp.float32)
 
     w_tap, b_tap, w_os, b_os, w_c, b_c = [], [], [], [], [], []
     for i in range(L):
         blk = params[f'residual_block_{i + 1}']
-        kk = blk['causal_conv']['kernel']                       # (k, R, G)
+        kk = _effective_kernel(blk['causal_conv'])              # (k, R, G)
         w_tap.append(kk.reshape(-1, kk.shape[-1]))              # (k*R, G)
-        b_tap.append(blk['causal_conv']['bias'])
-        w_os.append(jnp.concatenate([blk['conv1x1_out']['kernel'],
-                                     blk['conv1x1_skip']['kernel']], axis=1))
-        b_os.append(jnp.concatenate([blk['conv1x1_out']['bias'],
-                                     blk['conv1x1_skip']['bias']]))
-        w_c.append(blk['conv1x1c']['kernel'])                   # (cin, G)
-        b_c.append(blk['conv1x1c']['bias'])
+        b_tap.append(_bias(blk['causal_conv'], hp.gate_channels))
+        w_os.append(jnp.concatenate([_effective_kernel(blk['conv1x1_out']),
+                                     _effective_kernel(blk['conv1x1_skip'])], axis=1))
+        b_os.append(jnp.concatenate([_bias(blk['conv1x1_out'], hp.residual_channels),
+                                     _bias(blk['conv1x1_skip'], hp.skip_out_channels)]))
+        w_c.append(_effective_kernel(blk['conv1x1c']))          # (cin, G)
+        b_c.append(_bias(blk['conv1x1c'], hp.gate_channels))
 
     weights['w_tap'] = jnp.stack(w_tap).astype(jnp.bfloat16)    # (L, k*R, G)
     weights['b_tap'] = jnp.stack(b_tap).astype(jnp.float32)     # (L, G)
@@ -84,10 +102,10 @@ def pack_params(params: Dict, hp: Hparams) -> Dict[str, jnp.ndarray]:
     wc = jnp.stack(w_c, axis=1).reshape(hp.cin_channels, -1)
     weights['w_cond'] = jnp.pad(wc, ((0, 128 - hp.cin_channels), (0, 0))).astype(jnp.bfloat16)
     weights['b_cond'] = jnp.concatenate(b_c).astype(jnp.float32)  # (L*G,)
-    weights['w_s1'] = params['skip_conv1']['kernel'].astype(jnp.bfloat16)
-    weights['b_s1'] = params['skip_conv1']['bias'].astype(jnp.float32)
-    weights['w_s2'] = params['skip_conv2']['kernel'].astype(jnp.float32)  # (S, out)
-    weights['b_s2'] = params['skip_conv2']['bias'].astype(jnp.float32)
+    weights['w_s1'] = _effective_kernel(params['skip_conv1']).astype(jnp.bfloat16)
+    weights['b_s1'] = _bias(params['skip_conv1'], hp.skip_out_channels).astype(jnp.float32)
+    weights['w_s2'] = _effective_kernel(params['skip_conv2']).astype(jnp.float32)  # (S, out)
+    weights['b_s2'] = _bias(params['skip_conv2'], hp.out_channels).astype(jnp.float32)
     return weights
 
 

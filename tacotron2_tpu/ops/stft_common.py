@@ -77,7 +77,3 @@ def inv_mel_filterbank(sample_rate: int, n_fft: int, num_mels: int, fmin: float,
         mel_filterbank(sample_rate, n_fft, num_mels, fmin, fmax).astype(np.float64)
     ).astype(np.float32)
 
-
-def n_stft_frames(n_samples: int, n_fft: int, hop_size: int) -> int:
-    """Number of frames of a centered STFT (librosa center=True)."""
-    return 1 + n_samples // hop_size

@@ -22,3 +22,13 @@ class ValueWindow:
 
     def reset(self):
         self._values = []
+
+
+def round_up(x: int, multiple: int) -> int:
+    """Round x up to the next multiple (shared by loaders/synthesizers/kernels)."""
+    r = x % multiple
+    return x if r == 0 else x + multiple - r
+
+
+def round_down(x: int, multiple: int) -> int:
+    return x - (x % multiple)
