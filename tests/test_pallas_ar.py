@@ -73,3 +73,34 @@ def test_generate_dispatch_fallback():
     state, model, c, c_up = _setup(hp)
     out = wt.generate(state.ema_params, hp, jax.random.PRNGKey(1), c, use_pallas=False)
     assert out['audio'].shape == (2, c_up.shape[1])
+
+
+@pytest.mark.parametrize('variant', ['weight_norm', 'no_bias'])
+def test_kernel_matches_scan_special_configs(variant):
+    """Weight-normalized and bias-less configs must flow through pack_params correctly."""
+    hp = default_hparams()
+    extra = (',wavenet_weight_normalization=True' if variant == 'weight_norm'
+             else ',use_bias=False')
+    hp.parse(TINY + ',out_channels=2' + extra)
+    assert wavenet_ar.supports(hp)
+    state, model, c, c_up = _setup(hp)
+    if variant == 'weight_norm':
+        # make wn_g visibly non-trivial so a reparam bug would show
+        state = state.replace(params=jax.tree_util.tree_map_with_path(
+            lambda p, x: x * 3.0 if 'wn_g' in jax.tree_util.keystr(p) else x,
+            state.params))
+
+    noise = wavenet_ar.make_noise(hp, jax.random.PRNGKey(7), 2, c_up.shape[1])
+    weights = wavenet_ar.pack_params(state.params, hp)
+    audio_pk, params_pk = wavenet_ar.generate_ar(weights, c_up, noise, hp,
+                                                 interpret=True)
+    out_scan = model.apply({'params': state.params}, jax.random.PRNGKey(7), c,
+                           None, None, None, jnp.asarray(audio_pk),
+                           method=WaveNet.incremental)
+    ref = np.asarray(out_scan['params'])
+    diff = np.abs(ref - np.asarray(params_pk)).max()
+    # relative tolerance: the kernel stores weights in bf16; the x3 wn_g gains blow up
+    # activation magnitudes, so absolute error scales with them (a reparam BUG would
+    # produce O(1) relative error)
+    rel = diff / max(1e-6, np.abs(ref).max())
+    assert rel < 2e-2, f'{variant}: kernel/scan relative divergence {rel} (abs {diff})'
