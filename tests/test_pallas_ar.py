@@ -103,4 +103,4 @@ def test_kernel_matches_scan_special_configs(variant):
     # activation magnitudes, so absolute error scales with them (a reparam BUG would
     # produce O(1) relative error)
     rel = diff / max(1e-6, np.abs(ref).max())
-    assert rel < 2e-2, f'{variant}: kernel/scan relative divergence {rel} (abs {diff})'
+    assert rel < 5e-2, f"{variant}: kernel/scan relative divergence {rel} (abs {diff})"
