@@ -85,7 +85,7 @@ class Synthesizer:
 
         start = time.time()
         out = wt.generate(self._params, hp, jax.random.PRNGKey(hp.wavenet_random_seed),
-                          c, g, targets=targets)
+                          c, g, targets=targets, return_params=False)
         generated = np.asarray(out['audio'])
         elapsed = time.time() - start
         total = sum(lengths)

@@ -21,7 +21,7 @@ required, no global conditioning (falls back to the scan path otherwise).
 
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +114,7 @@ def _dilations(hp: Hparams):
     return [2 ** (i % lps) for i in range(hp.layers)]
 
 
-def _make_kernel(hp: Hparams, T: int, B_PAD: int):
+def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
     L = hp.layers
     R = hp.residual_channels
     G = hp.gate_channels
@@ -134,12 +134,17 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int):
     log_scale_min = float(hp.log_scale_min_gauss if gaussian else hp.log_scale_min)
 
     chunk_cond = B_PAD <= 16  # slab (CHUNK, B_PAD, L*G) bf16 must fit in VMEM
+    packed_noise = gaussian  # 1 noise value per (step, seq): pack into lanes
 
     def kernel(c_hbm, noise_hbm, first_w, first_b, w_tap, b_tap, w_os, b_os,
                w_cond, b_cond, w_s1, b_s1, w_s2, b_s2,
-               samples_hbm, params_hbm,
-               c_vmem, noise_vmem, samples_vmem, params_vmem, prev_ref, cond_vmem,
-               copy_sem, out_sem, *bufs):
+               *out_and_scratch):
+        if want_params:
+            (samples_hbm, params_hbm, c_vmem, noise_vmem, samples_vmem, params_vmem,
+             prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
+        else:
+            (samples_hbm, c_vmem, noise_vmem, samples_vmem,
+             prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
         # zero ring buffers + initial input
         for buf in bufs:
             buf[:] = jnp.zeros_like(buf)
@@ -214,7 +219,11 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int):
                 params_t = jnp.dot(o, w_s2[:],
                                    preferred_element_type=jnp.float32) + b_s2[:]
 
-                noise_t = noise_vmem[si, :, :]                    # (B_PAD, nr+1)
+                if packed_noise:
+                    noise_t = noise_vmem[si, :][:, None]          # (LANE,1)→rows=seqs
+                    noise_t = noise_t[:B_PAD, :]
+                else:
+                    noise_t = noise_vmem[si, :, :]                # (B_PAD, nr+1)
                 if gaussian:
                     mean = params_t[:, 0]
                     logs = jnp.maximum(params_t[:, 1], log_scale_min)
@@ -232,8 +241,9 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int):
                 sample = jnp.clip(sample, -1.0, 1.0)
 
                 samples_vmem[si, :] = jnp.pad(sample, (0, LANE - B_PAD))  # B_PAD<=32<LANE
-                params_vmem[si, :, :] = jnp.pad(params_t,
-                                                ((0, 0), (0, LANE - out_ch)))
+                if want_params:
+                    params_vmem[si, :, :] = jnp.pad(params_t,
+                                                    ((0, 0), (0, LANE - out_ch)))
                 prev_ref[:] = sample[:, None]
                 return 0
 
@@ -243,10 +253,11 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int):
                 samples_vmem, samples_hbm.at[pl.ds(ci * CHUNK, CHUNK)], out_sem)
             out_dma.start()
             out_dma.wait()
-            p_dma = pltpu.make_async_copy(
-                params_vmem, params_hbm.at[pl.ds(ci * CHUNK, CHUNK)], out_sem)
-            p_dma.start()
-            p_dma.wait()
+            if want_params:
+                p_dma = pltpu.make_async_copy(
+                    params_vmem, params_hbm.at[pl.ds(ci * CHUNK, CHUNK)], out_sem)
+                p_dma.start()
+                p_dma.wait()
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -254,10 +265,11 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int):
     return kernel, buf_sizes, nr
 
 
-@partial(jax.jit, static_argnames=('hp', 'interpret'))
+@partial(jax.jit, static_argnames=('hp', 'interpret', 'return_params'))
 def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
-                noise: jnp.ndarray, hp: Hparams, interpret: bool = False
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                noise: jnp.ndarray, hp: Hparams, interpret: bool = False,
+                return_params: bool = True
+                ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the AR kernel.
 
     Args:
@@ -265,26 +277,40 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         c_up: (B, T, cin) upsampled conditioning (already [0,1]-normalized).
         noise: (B, T, nr+1) pre-sampled noise: column 0 is the Gaussian eps /
             logistic noise, columns 1..nr are MoL Gumbel noise (unused for Gaussian).
-    Returns: (audio (B, T), params (B, T, out_channels)).
+        return_params: also stream the distribution params back (eval/debug). Off by
+            default for synthesis: the lane-padded params output costs LANE/out_ch
+            (64x for Gaussian) extra HBM and DMA on long audio.
+    Returns: (audio (B, T), params (B, T, out_channels) or None).
     """
     B, T, cin = c_up.shape
     assert B <= B_MAX, f'kernel supports batch <= {B_MAX}'
     B_PAD = max(SUBLANE, _round_up(B, SUBLANE))
     T_pad = _round_up(T, CHUNK)
     R = hp.residual_channels
+    gaussian = hp.out_channels == 2
 
     c_in = jnp.zeros((T_pad, B_PAD, LANE), jnp.float32)
     c_in = c_in.at[:T, :B, :cin].set(jnp.transpose(c_up, (1, 0, 2)))
-    n_in = jnp.zeros((T_pad, B_PAD, LANE), jnp.float32)
-    n_in = n_in.at[:T, :B, :noise.shape[-1]].set(jnp.transpose(noise, (1, 0, 2)))
+    if gaussian:
+        # single noise value per (step, seq): pack sequences into lanes
+        n_in = jnp.zeros((T_pad, LANE), jnp.float32)
+        n_in = n_in.at[:T, :B].set(noise[:, :, 0].T)
+    else:
+        n_in = jnp.zeros((T_pad, B_PAD, LANE), jnp.float32)
+        n_in = n_in.at[:T, :B, :noise.shape[-1]].set(jnp.transpose(noise, (1, 0, 2)))
 
-    kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD)
+    kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD, return_params)
 
+    noise_slab = (pltpu.VMEM((CHUNK, LANE), jnp.float32) if gaussian
+                  else pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32))
     scratch = [
         pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # c slab
-        pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # noise slab
+        noise_slab,                                            # noise slab
         pltpu.VMEM((CHUNK, LANE), jnp.float32),                # samples slab
-        pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # params slab
+    ]
+    if return_params:
+        scratch.append(pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32))  # params slab
+    scratch += [
         pltpu.VMEM((B_PAD, 1), jnp.float32),                   # previous sample
         pltpu.VMEM((CHUNK, min(B_PAD, 16), hp.layers * hp.gate_channels),
                    jnp.bfloat16),                              # chunk cond slab
@@ -292,15 +318,19 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         pltpu.SemaphoreType.DMA(()),
     ] + [pltpu.VMEM((s, B_PAD, R), jnp.float32) for s in buf_sizes]
 
-    samples, params = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((T_pad, LANE), jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    if return_params:
+        out_shape.append(jax.ShapeDtypeStruct((T_pad, B_PAD, LANE), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((T_pad, LANE), jnp.float32),
-                   jax.ShapeDtypeStruct((T_pad, B_PAD, LANE), jnp.float32)),
+        out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),        # c stays in HBM
                   pl.BlockSpec(memory_space=pltpu.ANY)]        # noise stays in HBM
                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
                                              vmem_limit_bytes=100 * 1024 * 1024),
@@ -310,8 +340,11 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
       weights['w_os'], weights['b_os'], weights['w_cond'], weights['b_cond'],
       weights['w_s1'], weights['b_s1'], weights['w_s2'], weights['b_s2'])
 
+    samples = outs[0] if isinstance(outs, (tuple, list)) else outs
     audio = samples[:T, :B].T
-    return audio, jnp.transpose(params[:T, :B, :hp.out_channels], (1, 0, 2))
+    if not return_params:
+        return audio, None
+    return audio, jnp.transpose(outs[1][:T, :B, :hp.out_channels], (1, 0, 2))
 
 
 def make_noise(hp: Hparams, rng: jax.Array, B: int, T: int) -> jnp.ndarray:

@@ -82,7 +82,8 @@ def eval_step(state, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
     g1 = jnp.asarray(g[:1]) if g is not None else None
     start = time.time()
     out = wt.generate(state.ema_params, hp, jax.random.PRNGKey(step), c1, g1,
-                      synthesis_length=None if c1 is not None else L)
+                      synthesis_length=None if c1 is not None else L,
+                      return_params=hp.wavenet_natural_eval)
     audio_out = np.asarray(out['audio'][0])
     elapsed = time.time() - start
     frames_sec = len(audio_out) / max(elapsed, 1e-6)

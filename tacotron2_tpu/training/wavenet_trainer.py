@@ -118,7 +118,7 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
-def _fast_generate_fn(hp: Hparams, dtype, interpret: bool):
+def _fast_generate_fn(hp: Hparams, dtype, interpret: bool, return_params: bool):
     """Jitted pallas-path generator; cached so repeat calls don't retrace."""
     from ..ops.pallas import wavenet_ar
     model = WaveNet(hp, dtype=dtype)
@@ -129,7 +129,8 @@ def _fast_generate_fn(hp: Hparams, dtype, interpret: bool):
                            method=WaveNet.upsample_conditioning)
         noise = wavenet_ar.make_noise(hp, rng, c.shape[0], c_up.shape[1])
         weights = wavenet_ar.pack_params(params, hp)
-        return wavenet_ar.generate_ar(weights, c_up, noise, hp, interpret=interpret)
+        return wavenet_ar.generate_ar(weights, c_up, noise, hp, interpret=interpret,
+                                      return_params=return_params)
     return fn
 
 
@@ -148,7 +149,8 @@ def _scan_generate_fn(hp: Hparams, dtype, with_c: bool, with_g: bool,
 def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
              g: Optional[jnp.ndarray] = None, synthesis_length: Optional[int] = None,
              targets: Optional[jnp.ndarray] = None, dtype=jnp.float32,
-             use_pallas: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
+             use_pallas: Optional[bool] = None,
+             return_params: bool = True) -> Dict[str, jnp.ndarray]:
     """Autoregressive generation.
 
     Dispatches to the on-chip Pallas AR kernel when the config supports it (scalar
@@ -161,8 +163,12 @@ def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
         use_pallas = (on_tpu and targets is None and c is not None
                       and c.shape[0] <= wavenet_ar.B_MAX and wavenet_ar.supports(hp))
     if use_pallas:
-        audio, dist_params = _fast_generate_fn(hp, dtype, not on_tpu)(params, c, rng)
-        return dict(audio=audio, params=dist_params)
+        audio, dist_params = _fast_generate_fn(hp, dtype, not on_tpu,
+                                               return_params)(params, c, rng)
+        out = dict(audio=audio)
+        if dist_params is not None:
+            out['params'] = dist_params
+        return out
     fn = _scan_generate_fn(hp, dtype, c is not None, g is not None,
                            targets is not None, synthesis_length)
     return fn(params, rng, c, g, targets)
