@@ -17,7 +17,7 @@ TACO_TINY = ("embedding_dim=32,enc_conv_channels=32,enc_conv_num_layers=1,"
              "attention_kernel=[7],prenet_layers=[16,16],decoder_lstm_units=32,"
              "postnet_channels=32,postnet_num_layers=2,cbhg_kernels=4,"
              "cbhg_conv_channels=16,cbhg_projection=16,cbhg_highway_units=16,"
-             "cbhg_rnn_units=16,num_freq=65,outputs_per_step=2")
+             "cbhg_rnn_units=16,num_freq=65,outputs_per_step=2,decoder_scan_unroll=1")
 
 WN_TINY = ("layers=4,stacks=2,residual_channels=8,gate_channels=16,"
            "skip_out_channels=8,hop_size=32,win_size=128,n_fft=256,num_freq=129")

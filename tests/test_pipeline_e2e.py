@@ -19,7 +19,7 @@ TINY = ("embedding_dim=32,enc_conv_channels=32,enc_conv_num_layers=1,encoder_lst
         "cbhg_conv_channels=16,cbhg_projection=16,cbhg_highway_units=16,cbhg_rnn_units=16,"
         "outputs_per_step=2,tacotron_batch_size=4,tacotron_test_size=None,"
         "tacotron_test_batches=1,griffin_lim_iters=3,bucket_group_batches=2,"
-        "pad_mel_multiple=16,max_iters=20,tacotron_synthesis_batch_size=4,"
+        "pad_mel_multiple=16,max_iters=20,tacotron_synthesis_batch_size=4,decoder_scan_unroll=1,"
         "layers=4,stacks=2,residual_channels=8,gate_channels=16,skip_out_channels=8,"
         "upsample_scales=[5,55],max_time_steps=2200,wavenet_batch_size=2,"
         "wavenet_test_size=None,wavenet_test_batches=1,wavenet_synthesis_batch_size=4")

@@ -13,7 +13,7 @@ TINY = ("embedding_dim=32,enc_conv_channels=32,enc_conv_num_layers=1,encoder_lst
         "attention_dim=16,attention_filters=8,attention_kernel=[7],prenet_layers=[16,16],"
         "decoder_lstm_units=32,postnet_channels=32,postnet_num_layers=2,"
         "cbhg_kernels=4,cbhg_conv_channels=16,cbhg_projection=16,cbhg_highway_units=16,"
-        "cbhg_rnn_units=16,num_freq=65,outputs_per_step=2")
+        "cbhg_rnn_units=16,num_freq=65,outputs_per_step=2,decoder_scan_unroll=1")
 
 
 @pytest.fixture(scope='module')
