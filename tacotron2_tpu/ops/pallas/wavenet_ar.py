@@ -39,12 +39,17 @@ SUBLANE = 8     # batch rows padded to the f32 sublane tile
 
 def supports(hp: Hparams) -> bool:
     """Whether this kernel covers the configuration."""
-    return (hp.input_type in ('raw', 'mulaw')
-            and 0 < hp.cin_channels <= LANE
-            and hp.gin_channels <= 0
-            and (hp.out_channels == 2 or hp.out_channels % 3 == 0)
+    if not (0 < hp.cin_channels <= LANE and hp.gin_channels <= 0
+            and hp.gate_channels % 2 == 0):
+        return False
+    if hp.input_type in ('raw', 'mulaw'):
+        return (hp.out_channels == 2 or hp.out_channels % 3 == 0) \
             and hp.out_channels <= LANE
-            and hp.gate_channels % 2 == 0)
+    # mulaw-quantize: categorical over quantize_channels one-hot input; bounded so
+    # the (Q, R) input embedding and (S, Q) head stay VMEM-resident
+    return (hp.input_type == 'mulaw-quantize'
+            and hp.out_channels == hp.quantize_channels
+            and hp.out_channels <= 1024)
 
 
 from ...utils import round_up as _round_up  # noqa: E402
@@ -129,9 +134,12 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
     legacy = hp.legacy
     res_legacy = hp.residual_legacy
     sqrt_half = float(np.sqrt(0.5))
-    gaussian = out_ch == 2
-    nr = 1 if gaussian else out_ch // 3
+    categorical = hp.input_type == 'mulaw-quantize'
+    gaussian = out_ch == 2 and not categorical
+    nr = 1 if (gaussian or categorical) else out_ch // 3
     log_scale_min = float(hp.log_scale_min_gauss if gaussian else hp.log_scale_min)
+    p_lane = _round_up(out_ch, LANE)  # params lane padding (out_ch may exceed LANE)
+    init_id = 127 * hp.quantize_channels // 256  # categorical silence init
 
     chunk_cond = B_PAD <= 16  # slab (CHUNK, B_PAD, L*G) bf16 must fit in VMEM
     packed_noise = gaussian  # 1 noise value per (step, seq): pack into lanes
@@ -145,10 +153,15 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
         else:
             (samples_hbm, c_vmem, noise_vmem, samples_vmem,
              prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
-        # zero ring buffers + initial input
+        # zero ring buffers; prev_ref holds the first-conv output h for the NEXT
+        # step (computed at sampling time), so all input types share one step body
         for buf in bufs:
             buf[:] = jnp.zeros_like(buf)
-        prev_ref[:] = jnp.zeros_like(prev_ref)
+        if categorical:
+            prev_ref[:] = jnp.broadcast_to(first_w[init_id, :] + first_b[:],
+                                           prev_ref.shape)
+        else:
+            prev_ref[:] = jnp.broadcast_to(first_b[:], prev_ref.shape)
 
         def chunk_body(ci, _):
             # synchronous slab DMA (0.2-0.5 MB per 128 steps; negligible vs compute)
@@ -172,8 +185,7 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
 
             def step_body(si, _):
                 t = ci * CHUNK + si
-                x_prev = prev_ref[:]                              # (B_PAD, 1) f32
-                h = x_prev * first_w[0, :] + first_b[:]           # (B_PAD, R)
+                h = prev_ref[:]                                   # (B_PAD, R)
 
                 if chunk_cond:
                     cond_all = cond_vmem[si, :, :].astype(jnp.float32)
@@ -223,11 +235,24 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
                     noise_t = noise_vmem[si, :][:, None]          # (LANE,1)→rows=seqs
                     noise_t = noise_t[:B_PAD, :]
                 else:
-                    noise_t = noise_vmem[si, :, :]                # (B_PAD, nr+1)
-                if gaussian:
+                    noise_t = noise_vmem[si, :, :]                # (B_PAD, nr+1 | Q)
+                if categorical:
+                    # Gumbel-max over the quantize classes; next input is the one-hot
+                    # pushed through the first conv (one (B,Q)@(Q,R) matmul)
+                    scores = params_t + noise_t[:, :out_ch]
+                    smax = jnp.max(scores, axis=1, keepdims=True)
+                    onehot = (scores >= smax).astype(jnp.float32)
+                    onehot = onehot / jnp.sum(onehot, axis=1, keepdims=True)
+                    ids = jnp.argmax(scores, axis=1)
+                    sample = ids.astype(jnp.float32)
+                    prev_ref[:] = jnp.dot(onehot.astype(jnp.bfloat16),
+                                          first_w[:].astype(jnp.bfloat16),
+                                          preferred_element_type=jnp.float32) + first_b[:]
+                elif gaussian:
                     mean = params_t[:, 0]
                     logs = jnp.maximum(params_t[:, 1], log_scale_min)
-                    sample = mean + jnp.exp(logs) * noise_t[:, 0]
+                    sample = jnp.clip(mean + jnp.exp(logs) * noise_t[:, 0], -1.0, 1.0)
+                    prev_ref[:] = sample[:, None] * first_w[0, :] + first_b[:]
                 else:
                     logits = params_t[:, :nr] + noise_t[:, 1:1 + nr]  # gumbel added
                     kmax = jnp.max(logits, axis=1, keepdims=True)
@@ -237,14 +262,13 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
                     logs = jnp.maximum(
                         jnp.sum(params_t[:, 2 * nr:3 * nr] * onehot, axis=1),
                         log_scale_min)
-                    sample = mean + jnp.exp(logs) * noise_t[:, 0]
-                sample = jnp.clip(sample, -1.0, 1.0)
+                    sample = jnp.clip(mean + jnp.exp(logs) * noise_t[:, 0], -1.0, 1.0)
+                    prev_ref[:] = sample[:, None] * first_w[0, :] + first_b[:]
 
                 samples_vmem[si, :] = jnp.pad(sample, (0, LANE - B_PAD))  # B_PAD<=32<LANE
                 if want_params:
                     params_vmem[si, :, :] = jnp.pad(params_t,
-                                                    ((0, 0), (0, LANE - out_ch)))
-                prev_ref[:] = sample[:, None]
+                                                    ((0, 0), (0, p_lane - out_ch)))
                 return 0
 
             jax.lax.fori_loop(0, CHUNK, step_body, 0)
@@ -287,7 +311,10 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     B_PAD = max(SUBLANE, _round_up(B, SUBLANE))
     T_pad = _round_up(T, CHUNK)
     R = hp.residual_channels
-    gaussian = hp.out_channels == 2
+    categorical = hp.input_type == 'mulaw-quantize'
+    gaussian = hp.out_channels == 2 and not categorical
+    noise_lanes = _round_up(noise.shape[-1], LANE)
+    p_lane = _round_up(hp.out_channels, LANE)
 
     c_in = jnp.zeros((T_pad, B_PAD, LANE), jnp.float32)
     c_in = c_in.at[:T, :B, :cin].set(jnp.transpose(c_up, (1, 0, 2)))
@@ -296,22 +323,22 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         n_in = jnp.zeros((T_pad, LANE), jnp.float32)
         n_in = n_in.at[:T, :B].set(noise[:, :, 0].T)
     else:
-        n_in = jnp.zeros((T_pad, B_PAD, LANE), jnp.float32)
+        n_in = jnp.zeros((T_pad, B_PAD, noise_lanes), jnp.float32)
         n_in = n_in.at[:T, :B, :noise.shape[-1]].set(jnp.transpose(noise, (1, 0, 2)))
 
     kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD, return_params)
 
     noise_slab = (pltpu.VMEM((CHUNK, LANE), jnp.float32) if gaussian
-                  else pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32))
+                  else pltpu.VMEM((CHUNK, B_PAD, noise_lanes), jnp.float32))
     scratch = [
         pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # c slab
         noise_slab,                                            # noise slab
         pltpu.VMEM((CHUNK, LANE), jnp.float32),                # samples slab
     ]
     if return_params:
-        scratch.append(pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32))  # params slab
+        scratch.append(pltpu.VMEM((CHUNK, B_PAD, p_lane), jnp.float32))  # params slab
     scratch += [
-        pltpu.VMEM((B_PAD, 1), jnp.float32),                   # previous sample
+        pltpu.VMEM((B_PAD, R), jnp.float32),                   # next-step first-conv output h
         pltpu.VMEM((CHUNK, min(B_PAD, 16), hp.layers * hp.gate_channels),
                    jnp.bfloat16),                              # chunk cond slab
         pltpu.SemaphoreType.DMA(()),
@@ -321,7 +348,7 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     out_shape = [jax.ShapeDtypeStruct((T_pad, LANE), jnp.float32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     if return_params:
-        out_shape.append(jax.ShapeDtypeStruct((T_pad, B_PAD, LANE), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((T_pad, B_PAD, p_lane), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
 
     outs = pl.pallas_call(
@@ -342,6 +369,8 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
 
     samples = outs[0] if isinstance(outs, (tuple, list)) else outs
     audio = samples[:T, :B].T
+    if categorical:
+        audio = audio.astype(jnp.int32)  # class ids, matching the scan path
     if not return_params:
         return audio, None
     return audio, jnp.transpose(outs[1][:T, :B, :hp.out_channels], (1, 0, 2))
@@ -349,6 +378,10 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
 
 def make_noise(hp: Hparams, rng: jax.Array, B: int, T: int) -> jnp.ndarray:
     """Pre-sample distribution noise in the layout generate_ar expects."""
+    if hp.input_type == 'mulaw-quantize':
+        u = jax.random.uniform(rng, (B, T, hp.out_channels),
+                               minval=1e-9, maxval=1.0 - 1e-9)
+        return -jnp.log(-jnp.log(u))  # Gumbel per class
     if hp.out_channels == 2:
         eps = jax.random.normal(rng, (B, T, 1))
         return eps

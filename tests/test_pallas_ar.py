@@ -63,7 +63,12 @@ def test_supports_gates():
     hp3.input_type = 'mulaw-quantize'
     hp3.quantize_channels = 256
     hp3.out_channels = 256
-    assert not wavenet_ar.supports(hp3)  # categorical → scan fallback
+    assert wavenet_ar.supports(hp3)  # small-vocab categorical is kernel-supported
+    hp4 = default_hparams()
+    hp4.input_type = 'mulaw-quantize'  # 16-bit vocab would blow the VMEM weight budget
+    assert hp4.quantize_channels == 2 ** 16
+    hp4.out_channels = hp4.quantize_channels
+    assert not wavenet_ar.supports(hp4)
 
 
 def test_generate_dispatch_fallback():
@@ -104,3 +109,38 @@ def test_kernel_matches_scan_special_configs(variant):
     # produce O(1) relative error)
     rel = diff / max(1e-6, np.abs(ref).max())
     assert rel < 5e-2, f"{variant}: kernel/scan relative divergence {rel} (abs {diff})"
+
+
+def test_kernel_categorical_matches_scan():
+    """mulaw-quantize (categorical) through the kernel: teacher-forced cross-check."""
+    hp = default_hparams()
+    hp.parse(TINY + ",input_type='mulaw-quantize',quantize_channels=256,out_channels=256")
+    assert wavenet_ar.supports(hp)
+    state, model, c, c_up = _setup_q(hp)
+
+    noise = wavenet_ar.make_noise(hp, jax.random.PRNGKey(7), 2, c_up.shape[1])
+    weights = wavenet_ar.pack_params(state.params, hp)
+    audio_pk, params_pk = wavenet_ar.generate_ar(weights, c_up, noise, hp,
+                                                 interpret=True)
+    assert audio_pk.dtype == jnp.int32
+    assert int(audio_pk.min()) >= 0 and int(audio_pk.max()) < 256
+
+    out_scan = model.apply({'params': state.params}, jax.random.PRNGKey(7), c,
+                           None, None, None, jnp.asarray(audio_pk),
+                           method=WaveNet.incremental)
+    diff = np.abs(np.asarray(out_scan['params']) - np.asarray(params_pk)).max()
+    assert diff < 5e-2, f'categorical kernel/scan divergence {diff}'
+
+
+def _setup_q(hp):
+    B, Tc = 2, 8
+    rng = np.random.default_rng(0)
+    batch = dict(audio=rng.integers(0, 256, (B, Tc * 32)).astype(np.int32),
+                 input_lengths=np.full((B,), Tc * 32, np.int32),
+                 mel_conditions=rng.uniform(0, 1, (B, Tc, 80)).astype(np.float32))
+    state = wt.create_train_state(hp, jax.random.PRNGKey(0), batch)
+    model = WaveNet(hp)
+    c = jnp.asarray(batch['mel_conditions'])
+    c_up = jax.jit(lambda p, cc: model.apply(
+        {'params': p}, cc, method=WaveNet.upsample_conditioning))(state.params, c)
+    return state, model, c, c_up
