@@ -1,89 +1,116 @@
 #!/usr/bin/env python
-"""Training CLI with the resumable 3-phase Tacotron-2 pipeline state machine
-(reference train.py:16-138): train Tacotron → GTA synthesis → train WaveNet,
-with completed phases recorded in logs-*/state_log."""
+"""Training entry point.
+
+Dispatches to the Tacotron or WaveNet trainers, or runs the combined `Tacotron-2`
+pipeline: three phases (spectrogram model training, ground-truth-aligned mel
+synthesis, vocoder training) executed in order, with progress persisted so an
+interrupted run picks up at the first unfinished phase.
+
+Phase progress lives in ``logs-<name>/state_log``. The on-disk format is kept
+byte-compatible with the reference implementation (reference train.py:16-32) so
+runs started under either codebase resume cleanly: three ``0``/``1`` flags and
+the GTA map path, pipe-separated.
+"""
 
 import argparse
 import os
-import traceback
 
 from tacotron2_tpu.config import default_hparams
 from tacotron2_tpu.utils import infolog
 from tacotron2_tpu.utils.infolog import log
 
-# intervals and budgets (reference train.py:93-117)
+PHASES = ('tacotron', 'gta', 'wavenet')
 
 
-def save_seq(file, sequence, input_path):
-    sequence = [str(int(s)) for s in sequence] + [input_path]
-    with open(file, 'w') as f:
-        f.write('|'.join(sequence))
+def write_state(path: str, done_flags, gta_map_path: str) -> None:
+    """Persist pipeline progress: '<t>|<g>|<w>|<map_path>'."""
+    fields = [str(int(bool(f))) for f in done_flags]
+    with open(path, 'w') as f:
+        f.write('|'.join(fields + [gta_map_path]))
 
 
-def read_seq(file):
-    if os.path.isfile(file):
-        with open(file, 'r') as f:
-            sequence = f.read().split('|')
-        return [bool(int(s)) for s in sequence[:-1]], sequence[-1]
-    return [0, 0, 0], ''
+def read_state(path: str):
+    """Load pipeline progress written by write_state; fresh state if absent."""
+    if not os.path.isfile(path):
+        return [False, False, False], ''
+    with open(path, 'r') as f:
+        fields = f.read().split('|')
+    return [bool(int(x)) for x in fields[:-1]], fields[-1]
+
+
+def str2bool(v: str) -> bool:
+    """argparse-safe bool ('--restore False' actually means False)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ('true', '1', 'yes', 'y'):
+        return True
+    if v.lower() in ('false', '0', 'no', 'n'):
+        return False
+    raise argparse.ArgumentTypeError(f'expected a boolean, got {v!r}')
 
 
 def prepare_run(args):
     from tacotron2_tpu.utils.runtime import setup_runtime
     setup_runtime()
-    modified_hp = default_hparams()
-    modified_hp.parse(args.hparams)
+    hp = default_hparams()
+    hp.parse(args.hparams)
     run_name = args.name or args.model
     log_dir = os.path.join(args.base_dir, 'logs-{}'.format(run_name))
     os.makedirs(log_dir, exist_ok=True)
     infolog.init(os.path.join(log_dir, 'Terminal_train_log'), run_name, args.slack_url)
-    return log_dir, modified_hp
+    return log_dir, hp
 
 
-def train(args, log_dir, hparams):
+def _banner(title: str) -> None:
+    rule = '#' * 64
+    log('\n{}\n# {}\n{}\n'.format(rule, title, rule))
+
+
+def run_pipeline(args, log_dir, hparams):
+    """The resumable 3-phase Tacotron-2 pipeline."""
     state_file = os.path.join(log_dir, 'state_log')
-    # Get training states
-    (taco_state, GTA_state, wave_state), input_path = read_seq(state_file)
+    done, gta_map = read_state(state_file)
 
-    if not taco_state:
-        log('\n#############################################################\n')
-        log('Tacotron Train\n')
-        log('###########################################################\n')
+    if all(done):
+        log('Pipeline state shows all three phases finished; nothing to do. '
+            'Delete {} to retrain.'.format(state_file))
+        return
+
+    if not done[0]:
+        _banner('Phase 1/3: Tacotron training')
         from tacotron2_tpu.training.tacotron_train import tacotron_train
         checkpoint = tacotron_train(args, log_dir, hparams)
         if checkpoint is None:
-            raise RuntimeError('Error occured while training Tacotron, Exiting!')
-        taco_state = 1
-        save_seq(state_file, [taco_state, GTA_state, wave_state], input_path)
+            raise RuntimeError('Tacotron training did not produce a checkpoint; '
+                               'see the log above for the failure.')
+        done[0] = True
+        write_state(state_file, done, gta_map)
     else:
         checkpoint = os.path.join(log_dir, 'taco_pretrained')
 
-    if not GTA_state:
-        log('\n#############################################################\n')
-        log('Tacotron GTA Synthesis\n')
-        log('###########################################################\n')
+    if not done[1]:
+        _banner('Phase 2/3: ground-truth-aligned synthesis')
         from tacotron2_tpu.inference.tacotron_synthesizer import tacotron_synthesize
         args.mode = 'synthesis'
-        input_path = tacotron_synthesize(args, hparams, checkpoint)
-        GTA_state = 1
-        save_seq(state_file, [taco_state, GTA_state, wave_state], input_path)
+        gta_map = tacotron_synthesize(args, hparams, checkpoint)
+        done[1] = True
+        write_state(state_file, done, gta_map)
 
-    if input_path in ('', None):
-        raise RuntimeError('input_path has an unpleasant value -> {}'.format(input_path))
+    if not gta_map:
+        raise RuntimeError('No GTA map path recorded after phase 2; cannot start '
+                           'WaveNet training. state_log may be corrupt: ' + state_file)
 
-    if not wave_state:
-        log('\n#############################################################\n')
-        log('Wavenet Train\n')
-        log('###########################################################\n')
+    if not done[2]:
+        _banner('Phase 3/3: WaveNet training')
         from tacotron2_tpu.training.wavenet_train import wavenet_train
-        checkpoint = wavenet_train(args, log_dir, hparams, input_path)
+        checkpoint = wavenet_train(args, log_dir, hparams, gta_map)
         if checkpoint is None:
-            raise RuntimeError('Error occured while training Wavenet, Exiting!')
-        wave_state = 1
-        save_seq(state_file, [taco_state, GTA_state, wave_state], input_path)
+            raise RuntimeError('WaveNet training did not produce a checkpoint; '
+                               'see the log above for the failure.')
+        done[2] = True
+        write_state(state_file, done, gta_map)
 
-    if wave_state and GTA_state and taco_state:
-        log('TRAINING IS ALREADY COMPLETE!!')
+    log('Pipeline complete: all three phases finished.', slack=True)
 
 
 def main():
@@ -102,7 +129,8 @@ def main():
     parser.add_argument('--mode', default='synthesis', help='mode for synthesis of tacotron after training')
     parser.add_argument('--GTA', default='True',
                         help='Ground truth aligned synthesis, defaults to True, only considered in Tacotron synthesis mode')
-    parser.add_argument('--restore', type=bool, default=True, help='Set this to False to do a fresh training')
+    parser.add_argument('--restore', type=str2bool, default=True,
+                        help='Set this to False to do a fresh training')
     parser.add_argument('--summary_interval', type=int, default=250,
                         help='Steps between running summary ops')
     parser.add_argument('--embedding_interval', type=int, default=5000,
@@ -121,9 +149,9 @@ def main():
                         help='capture a jax.profiler trace around this train step (0 = off)')
     args = parser.parse_args()
 
-    accepted_models = ['Tacotron', 'WaveNet', 'Tacotron-2']
-    if args.model not in accepted_models:
-        raise ValueError('please enter a valid model to train: {}'.format(accepted_models))
+    known = ('Tacotron', 'WaveNet', 'Tacotron-2')
+    if args.model not in known:
+        raise ValueError('unknown --model {!r}; choose one of {}'.format(args.model, known))
 
     log_dir, hparams = prepare_run(args)
 
@@ -133,8 +161,8 @@ def main():
     elif args.model == 'WaveNet':
         from tacotron2_tpu.training.wavenet_train import wavenet_train
         wavenet_train(args, log_dir, hparams, args.wavenet_input)
-    elif args.model == 'Tacotron-2':
-        train(args, log_dir, hparams)
+    else:
+        run_pipeline(args, log_dir, hparams)
 
 
 if __name__ == '__main__':
