@@ -236,6 +236,8 @@ class Hparams:
     data_prefetch: int = 2            # device prefetch depth for the input pipeline
     bucket_group_batches: int = 64    # feeder bucketing group size (reference feeder.py:159 `_batches_per_group`)
     decoder_scan_unroll: int = 4      # steps unrolled per decoder scan iteration (7% faster train step)
+    decoder_chunk_size: int = 64      # synthesis early-exit granularity (decoder steps per while_loop chunk)
+    fused_decoder: bool = True        # custom-VJP decoder scan for train/eval/GTA (ops/fused_decoder.py)
     pad_text_multiple: int = 16       # round text length up: bounds XLA shape count
     pad_mel_multiple: int = 64        # round mel length up: bounds XLA shape count
 
@@ -300,7 +302,28 @@ class Hparams:
         return dataclasses.asdict(self)
 
     def replace(self, **kw) -> 'Hparams':
+        """Return a modified (unfrozen) copy — the only mutation path once frozen."""
         return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------------------------
+    # Freezing. Hparams is identity-hashed (eq=False) so it doubles as a jit /
+    # lru_cache key; mutating an instance after compiled code captured it would
+    # silently serve stale traces. Trainers/synthesizers call freeze() at first
+    # use; after that any attribute assignment raises and replace() must be used.
+    def freeze(self) -> 'Hparams':
+        object.__setattr__(self, '_frozen', True)
+        return self
+
+    @property
+    def frozen(self) -> bool:
+        return getattr(self, '_frozen', False)
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if getattr(self, '_frozen', False):
+            raise dataclasses.FrozenInstanceError(
+                f'Hparams is frozen (already captured by compiled code); '
+                f'use hp.replace({name}=...) to get a modified copy')
+        object.__setattr__(self, name, value)
 
 
 def _split_overrides(s: str) -> List[Tuple[str, str]]:

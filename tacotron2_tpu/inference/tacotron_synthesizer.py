@@ -41,7 +41,7 @@ class Synthesizer:
     def load(self, checkpoint_dir: str, hparams: Hparams, gta: bool = False,
              model_name: str = 'Tacotron'):
         log('Constructing model: %s' % model_name)
-        self._hp = hparams
+        self._hp = hparams.freeze()  # jit-cached apply fns key on hparams identity
         self.gta = gta
         self._model = Tacotron(hparams)
         self._mesh = mesh_lib.make_mesh(hparams)
@@ -112,8 +112,10 @@ class Synthesizer:
                 self._variables, inputs, input_lengths, mel_targets, rng)
         else:
             mel_targets = None
-            max_iters = min(hp.max_iters, 2 * T_in * 10)  # generous cap, static shape
-            out = self._jit_apply(False, max_iters)(
+            # full max_iters cap (reference dynamic_decode maximum_iterations,
+            # tacotron.py:173); the decoder's chunked while_loop exits as soon as
+            # every sequence's stop token fires, so the cap costs nothing
+            out = self._jit_apply(False, hp.max_iters)(
                 self._variables, inputs, input_lengths, None, rng)
 
         out = jax.device_get(out)
@@ -254,6 +256,37 @@ def run_synthesis(args, checkpoint_dir, output_dir, hparams):
     return os.path.join(synth_dir, 'map.txt')
 
 
+def play_audio(wav_path: str) -> bool:
+    """Best-effort playback of a wav file through the OS audio stack (the reference
+    pipes raw samples to an OS player in live mode, tacotron/synthesizer.py:162-182).
+
+    Tries the `sounddevice` package first, then common CLI players. Returns True if
+    something played; callers fall back to just reporting the file path."""
+    try:
+        import sounddevice as sd
+        import numpy as np
+        from scipy.io import wavfile
+        sr, data = wavfile.read(wav_path)
+        if data.dtype.kind == 'i':
+            data = data.astype(np.float32) / np.iinfo(data.dtype).max
+        sd.play(data, sr, blocking=True)
+        return True
+    except Exception:
+        pass
+    import shutil
+    import subprocess
+    for player in (['aplay', wav_path], ['afplay', wav_path],
+                   ['ffplay', '-nodisp', '-autoexit', '-loglevel', 'quiet', wav_path]):
+        if shutil.which(player[0]):
+            try:
+                subprocess.run(player, check=True, timeout=120,
+                               stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                return True
+            except Exception:
+                continue
+    return False
+
+
 def run_live(args, checkpoint_dir, hparams):
     """Interactive REPL synthesis (reference tacotron/synthesize.py:87-102)."""
     synth = Synthesizer()
@@ -269,7 +302,10 @@ def run_live(args, checkpoint_dir, hparams):
             if not text.strip():
                 continue
             synth.synthesize([text], [f'live_{i}'], None, out_dir, None)
-            log('wrote {}/wavs/wav-live_{}-mel.wav'.format(out_dir, i))
+            wav_path = '{}/wavs/wav-live_{}-mel.wav'.format(out_dir, i)
+            log('wrote {}'.format(wav_path))
+            if not play_audio(wav_path):
+                log('(no audio device/player available — wav saved only)')
             i += 1
     except EOFError:
         log('live session done')

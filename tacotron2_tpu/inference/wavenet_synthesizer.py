@@ -25,7 +25,7 @@ from ..utils.infolog import log
 
 class Synthesizer:
     def load(self, checkpoint_dir: str, hparams: Hparams):
-        self._hp = hparams
+        self._hp = hparams.freeze()  # jit-cached generate fns key on hparams identity
         hop = hparams.get_hop_size()
         dummy = dict(
             audio=(np.zeros((1, hop), np.int32) if is_mulaw_quantize(hparams.input_type)

@@ -53,6 +53,7 @@ def make_optimizer(hp: Hparams) -> optax.GradientTransformation:
 
 def create_train_state(hp: Hparams, rng: jax.Array, example_batch: Dict[str, Any],
                        dtype=jnp.float32) -> TrainState:
+    hp.freeze()  # hp is a jit static key from here on; mutation would go stale
     model = Tacotron(hp, dtype=dtype)
     init_rngs = {'params': rng,
                  'dropout': jax.random.fold_in(rng, 1),
@@ -129,6 +130,7 @@ def eval_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array,
 def make_jitted_steps(hp: Hparams, mesh, dtype=jnp.float32):
     """Compile train/eval steps with explicit shardings over the mesh: state
     replicated, batch sharded on the data axis."""
+    hp.freeze()
     rep = mesh_lib.replicated(mesh)
     data = mesh_lib.batch_sharding(mesh)
 

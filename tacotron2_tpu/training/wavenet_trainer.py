@@ -55,6 +55,7 @@ def _batch_mask(batch: Dict[str, Any]) -> jnp.ndarray:
 
 def create_train_state(hp: Hparams, rng: jax.Array, example_batch: Dict[str, Any],
                        dtype=jnp.float32) -> WaveNetTrainState:
+    hp.freeze()  # hp is a jit/lru_cache key from here on
     model = WaveNet(hp, dtype=dtype)
     x = model.encode_input(jnp.asarray(example_batch['audio']))
 
@@ -118,18 +119,25 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
-def _fast_generate_fn(hp: Hparams, dtype, interpret: bool, return_params: bool):
+def _fast_generate_fn(hp: Hparams, dtype, interpret: bool, return_params: bool,
+                      with_g: bool):
     """Jitted pallas-path generator; cached so repeat calls don't retrace."""
     from ..ops.pallas import wavenet_ar
     model = WaveNet(hp, dtype=dtype)
 
     @jax.jit
-    def fn(params, c, rng):
+    def fn(params, c, g, rng):
         c_up = model.apply({'params': params}, c,
                            method=WaveNet.upsample_conditioning)
         noise = wavenet_ar.make_noise(hp, rng, c.shape[0], c_up.shape[1])
         weights = wavenet_ar.pack_params(params, hp)
-        return wavenet_ar.generate_ar(weights, c_up, noise, hp, interpret=interpret,
+        g_cond = None
+        if with_g:
+            g_emb = model.apply({'params': params}, g,
+                                method=WaveNet._embed_global)
+            g_cond = wavenet_ar.pack_global(params, hp, g_emb)
+        return wavenet_ar.generate_ar(weights, c_up, noise, hp, g_cond=g_cond,
+                                      interpret=interpret,
                                       return_params=return_params)
     return fn
 
@@ -154,17 +162,41 @@ def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
     """Autoregressive generation.
 
     Dispatches to the on-chip Pallas AR kernel when the config supports it (scalar
-    input, local conditioning, no global conditioning, free-running); otherwise the
-    lax.scan path. Set use_pallas=False to force the scan path."""
+    or small-vocab categorical input, local conditioning, free-running); otherwise
+    the lax.scan path. Batches larger than the kernel's B_MAX are tiled over
+    B_MAX-sized kernel launches (padding the last tile) instead of silently losing
+    the kernel speedup. Set use_pallas=False to force the scan path."""
     from ..ops.pallas import wavenet_ar
 
+    hp.freeze()  # lru_cache below keys on hp identity
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     if use_pallas is None:
         use_pallas = (on_tpu and targets is None and c is not None
-                      and c.shape[0] <= wavenet_ar.B_MAX and wavenet_ar.supports(hp))
+                      and wavenet_ar.supports(hp))
     if use_pallas:
-        audio, dist_params = _fast_generate_fn(hp, dtype, not on_tpu,
-                                               return_params)(params, c, rng)
+        fn = _fast_generate_fn(hp, dtype, not on_tpu, return_params,
+                               g is not None and hp.gin_channels > 0)
+        B = c.shape[0]
+        bm = wavenet_ar.B_MAX
+        if B <= bm:
+            audio, dist_params = fn(params, c, g, rng)
+        else:
+            audio_t, params_t = [], []
+            for i in range(0, B, bm):
+                c_i, g_i = c[i:i + bm], (g[i:i + bm] if g is not None else None)
+                n = c_i.shape[0]
+                if n < bm:  # pad the tail tile: one compiled shape for all tiles
+                    c_i = jnp.concatenate(
+                        [c_i, jnp.repeat(c_i[-1:], bm - n, axis=0)])
+                    if g_i is not None:
+                        g_i = jnp.concatenate(
+                            [g_i, jnp.repeat(g_i[-1:], bm - n, axis=0)])
+                a_i, p_i = fn(params, c_i, g_i, jax.random.fold_in(rng, i))
+                audio_t.append(a_i[:n])
+                if p_i is not None:
+                    params_t.append(p_i[:n])
+            audio = jnp.concatenate(audio_t)
+            dist_params = jnp.concatenate(params_t) if params_t else None
         out = dict(audio=audio)
         if dist_params is not None:
             out['params'] = dist_params
@@ -213,6 +245,7 @@ def generate_data_parallel(params, hp: Hparams, rng: jax.Array, c: jnp.ndarray,
 
 
 def make_jitted_steps(hp: Hparams, mesh, dtype=jnp.float32):
+    hp.freeze()
     rep = mesh_lib.replicated(mesh)
     data = mesh_lib.batch_sharding(mesh)
     jt = jax.jit(partial(train_step, hp=hp, dtype=dtype),
@@ -229,4 +262,5 @@ def make_tp_train_step(hp: Hparams, mesh, dtype=jnp.float32):
     The state arrives pre-placed by sharding_rules.shard_wavenet_state (gate-sharded
     kernels); layouts propagate from the arguments, and GSPMD inserts the collectives
     for the row-parallel out/skip projections and the gradient all-reduce."""
+    hp.freeze()
     return jax.jit(partial(train_step, hp=hp, dtype=dtype), donate_argnums=(0,))

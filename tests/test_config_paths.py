@@ -143,3 +143,20 @@ def test_stop_token_length_recovery():
     lengths = s._get_output_lengths(logits)
     assert lengths[0] == 13
     assert lengths[1] == 20  # never stops → full length
+
+
+def test_hparams_freeze_after_first_use():
+    """Mutating an Hparams after compiled code captured it must raise: identity-hashed
+    hp doubles as a jit/lru_cache key, so in-place edits would serve stale traces."""
+    import dataclasses
+    import pytest
+    hp = default_hparams()
+    hp.parse(TACO_TINY)
+    hp.tacotron_batch_size = 4        # pre-use mutation is fine
+    batch = taco_batch(hp)
+    tt.create_train_state(hp, jax.random.PRNGKey(0), batch)  # freezes hp
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        hp.tacotron_batch_size = 8
+    hp2 = hp.replace(tacotron_batch_size=8)  # the sanctioned mutation path
+    assert hp2.tacotron_batch_size == 8 and not hp2.frozen
+    assert hp.tacotron_batch_size == 4
