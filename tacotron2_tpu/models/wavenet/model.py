@@ -66,7 +66,8 @@ class WaveNet(nn.Module):
             self.upsample = UpsampleNetwork(
                 hp.cin_channels, hp.upsample_type, tuple(hp.upsample_scales),
                 hp.freq_axis_kernel_size, hp.upsample_activation, hp.leaky_alpha,
-                hp.NN_init, hp.NN_scaler, self.dtype, name='upsample_network')
+                hp.NN_init, hp.NN_scaler, hp.wavenet_weight_normalization,
+                self.dtype, name='upsample_network')
 
     # ------------------------------------------------------------------
     def _dilations(self):
@@ -167,7 +168,8 @@ class WaveNet(nn.Module):
 
         if initial_input is None:
             if is_mulaw_quantize(hp.input_type):
-                init_sample = jnp.full((B,), 127 * hp.quantize_channels // 256, jnp.int32)
+                # mulaw_quantize(0) = Q//2: categorical silence (reference wavenet.py:418-424)
+                init_sample = jnp.full((B,), hp.quantize_channels // 2, jnp.int32)
             else:
                 init_sample = jnp.zeros((B,), jnp.float32)
         else:

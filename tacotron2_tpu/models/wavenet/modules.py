@@ -248,12 +248,57 @@ def _nn_init_2d_transpose(kernel_size: Tuple[int, int], strides_t: int, nn_scale
     return init * (nn_scaler ** (1.0 / up_layers))
 
 
+class UpsampleConv(nn.Module):
+    """Conv / transpose-conv with optional weight-norm reparameterization.
+
+    The reference wraps every upsample conv in ``maybe_Normalize_weights``
+    (wavenet_vocoder/models/wavenet.py:194-195); flax's nn.Conv can't be
+    reparameterized in place, so this module owns its kernel directly. Param names
+    ('kernel', 'bias', plus 'wn_g' only when weight-normalized) match nn.Conv, so
+    checkpoints trained without weight norm are layout-identical."""
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Optional[Tuple[int, ...]] = None
+    transpose: bool = False
+    weight_normalization: bool = False
+    kernel_init: Any = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ndim = len(self.kernel_size)
+        in_feat = x.shape[-1]
+        kinit = self.kernel_init or nn.initializers.lecun_normal()
+        kernel = self.param('kernel', kinit,
+                            tuple(self.kernel_size) + (in_feat, self.features),
+                            jnp.float32)
+        if self.weight_normalization:
+            wn_g = self.param('wn_g', nn.initializers.ones, (self.features,),
+                              jnp.float32)
+            axes = tuple(range(kernel.ndim - 1))
+            norm = jnp.sqrt(jnp.sum(jnp.square(kernel), axis=axes, keepdims=True) + 1e-8)
+            kernel = wn_g * kernel / norm
+        bias = self.param('bias', nn.initializers.zeros, (self.features,), jnp.float32)
+        dn = {1: ('NWC', 'WIO', 'NWC'), 2: ('NHWC', 'HWIO', 'NHWC')}[ndim]
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        strides = tuple(self.strides) if self.strides else (1,) * ndim
+        if self.transpose:
+            y = jax.lax.conv_transpose(x, kernel, strides, 'SAME',
+                                       dimension_numbers=dn)
+        else:
+            y = jax.lax.conv_general_dilated(x, kernel, (1,) * ndim, 'SAME',
+                                             dimension_numbers=dn)
+        return y + bias.astype(self.dtype)
+
+
 class UpsampleNetwork(nn.Module):
     """mel (B, Tc, cin) → (B, Tc*hop, cin) local-conditioning upsampler.
 
     Supports the reference's 5 variants: NearestNeighbor (non-learnable), 1D/2D
     transpose convs, Resize (NN-resize → conv), SubPixel (conv → periodic shuffle),
-    all with checkerboard-free NN initialization when NN_init."""
+    all with checkerboard-free NN initialization when NN_init and optional weight
+    normalization (reference wavenet.py:194-195)."""
     cin_channels: int
     upsample_type: str
     upsample_scales: Tuple[int, ...]
@@ -262,6 +307,7 @@ class UpsampleNetwork(nn.Module):
     leaky_alpha: float = 0.4
     NN_init: bool = True
     NN_scaler: float = 0.3
+    weight_normalization: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -285,9 +331,11 @@ class UpsampleNetwork(nn.Module):
                     init = lambda key, shape, dtype=jnp.float32, v=init_np: jnp.asarray(v)
                 else:
                     init = nn.initializers.lecun_normal()
-                x = nn.ConvTranspose(self.cin_channels, (s,), strides=(s,),
-                                     padding='SAME', kernel_init=init,
-                                     dtype=self.dtype, name=f'convt1d_{li + 1}')(x)
+                x = UpsampleConv(self.cin_channels, (s,), strides=(s,),
+                                 transpose=True,
+                                 weight_normalization=self.weight_normalization,
+                                 kernel_init=init, dtype=self.dtype,
+                                 name=f'convt1d_{li + 1}')(x)
                 x = act(x)
             return x
 
@@ -301,9 +349,10 @@ class UpsampleNetwork(nn.Module):
                     init = lambda key, shape, dtype=jnp.float32, v=init_np: jnp.asarray(v)
                 else:
                     init = nn.initializers.lecun_normal()
-                x = nn.ConvTranspose(1, (fk, s), strides=(1, s), padding='SAME',
-                                     kernel_init=init, dtype=self.dtype,
-                                     name=f'convt2d_{li + 1}')(x)
+                x = UpsampleConv(1, (fk, s), strides=(1, s), transpose=True,
+                                 weight_normalization=self.weight_normalization,
+                                 kernel_init=init, dtype=self.dtype,
+                                 name=f'convt2d_{li + 1}')(x)
             elif self.upsample_type == 'Resize':
                 x = jnp.repeat(x, s, axis=2)  # NN resize on time axis
                 if self.NN_init:
@@ -311,8 +360,10 @@ class UpsampleNetwork(nn.Module):
                     init = lambda key, shape, dtype=jnp.float32, v=init_np: jnp.asarray(v)
                 else:
                     init = nn.initializers.lecun_normal()
-                x = nn.Conv(1, (fk, s), padding='SAME', kernel_init=init,
-                            dtype=self.dtype, name=f'resize_conv_{li + 1}')(x)
+                x = UpsampleConv(1, (fk, s),
+                                 weight_normalization=self.weight_normalization,
+                                 kernel_init=init, dtype=self.dtype,
+                                 name=f'resize_conv_{li + 1}')(x)
             else:  # SubPixel
                 conv_filters = s  # out_filters(1) * strides(1, s)
                 if self.NN_init:
@@ -320,8 +371,10 @@ class UpsampleNetwork(nn.Module):
                     init = lambda key, shape, dtype=jnp.float32, v=init_np: jnp.asarray(v)
                 else:
                     init = nn.initializers.lecun_normal()
-                y = nn.Conv(conv_filters, (fk, 3), padding='SAME', kernel_init=init,
-                            dtype=self.dtype, name=f'subpixel_conv_{li + 1}')(x)
+                y = UpsampleConv(conv_filters, (fk, 3),
+                                 weight_normalization=self.weight_normalization,
+                                 kernel_init=init, dtype=self.dtype,
+                                 name=f'subpixel_conv_{li + 1}')(x)
                 # periodic shuffle on the time axis: (B, H, W, s) → (B, H, W*s, 1)
                 B, H, W, C = y.shape
                 x = y.reshape(B, H, W * s, 1)

@@ -22,7 +22,10 @@ from ..models.wavenet.model import WaveNet
 
 
 def _conv_paths(hp: Hparams) -> List[Tuple[str, ...]]:
-    paths: List[Tuple[str, ...]] = [('first_conv',)]
+    # upsample convs first: they feed the conditioning consumed by every conv1x1c
+    # (the reference normalizes them too, wavenet.py:194-195)
+    paths: List[Tuple[str, ...]] = list(_upsample_paths(hp))
+    paths.append(('first_conv',))
     for i in range(hp.layers):
         blk = f'residual_block_{i + 1}'
         paths.append((blk, 'causal_conv'))
@@ -35,6 +38,15 @@ def _conv_paths(hp: Hparams) -> List[Tuple[str, ...]]:
     paths.append(('skip_conv1',))
     paths.append(('skip_conv2',))
     return paths
+
+
+def _upsample_paths(hp: Hparams) -> List[Tuple[str, ...]]:
+    if hp.cin_channels <= 0 or hp.upsample_type == 'NearestNeighbor':
+        return []
+    base = {'1D': 'convt1d', '2D': 'convt2d', 'Resize': 'resize_conv',
+            'SubPixel': 'subpixel_conv'}[hp.upsample_type]
+    return [('upsample_network', f'{base}_{i + 1}')
+            for i in range(len(hp.upsample_scales))]
 
 
 def data_dependent_init(params, batch: Dict[str, Any], hp: Hparams,

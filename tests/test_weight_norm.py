@@ -42,6 +42,11 @@ def test_weight_norm_reparam_and_init():
     assert abs(y.std() - 1.0) < 0.15
     y2 = np.asarray(inter['skip_conv1']['__call__'][0], np.float32)
     assert abs(y2.mean()) < 0.05 and abs(y2.std() - 1.0) < 0.15
+    # upsample convs are weight-normalized too (reference wavenet.py:194-195)
+    assert 'wn_g' in state.params['upsample_network']['subpixel_conv_1']
+    y3 = np.asarray(inter['upsample_network']['subpixel_conv_2']['__call__'][0],
+                    np.float32)
+    assert abs(y3.mean()) < 0.05 and abs(y3.std() - 1.0) < 0.15
 
 
 def test_weight_norm_training_works():
