@@ -16,7 +16,10 @@ one TensorCore:
 
 Supported configs: scalar input (raw / mulaw), kernel_size arbitrary (k-1 taps),
 Gaussian (out_channels==2) or MoL (out_channels==3*nr) output, local conditioning
-required, no global conditioning (falls back to the scan path otherwise).
+required, global conditioning optional (speaker embedding projected to a per-layer
+(B, L*G) bias outside the kernel — time-invariant, reference wavenet.py:151-158).
+Batches larger than B_MAX are tiled over B_MAX-sized kernel launches by the
+wavenet_trainer.generate wrapper.
 """
 
 
@@ -39,8 +42,7 @@ SUBLANE = 8     # batch rows padded to the f32 sublane tile
 
 def supports(hp: Hparams) -> bool:
     """Whether this kernel covers the configuration."""
-    if not (0 < hp.cin_channels <= LANE and hp.gin_channels <= 0
-            and hp.gate_channels % 2 == 0):
+    if not (0 < hp.cin_channels <= LANE and hp.gate_channels % 2 == 0):
         return False
     if hp.input_type in ('raw', 'mulaw'):
         return (hp.out_channels == 2 or hp.out_channels % 3 == 0) \
@@ -114,12 +116,26 @@ def pack_params(params: Dict, hp: Hparams) -> Dict[str, jnp.ndarray]:
     return weights
 
 
+def pack_global(params: Dict, hp: Hparams, g_emb: jnp.ndarray) -> jnp.ndarray:
+    """Project the speaker embedding through every layer's conv1x1g into one merged
+    (B, L*G) conditioning bias (time-invariant — reference wavenet.py:151-158; the
+    scan path's g_projs hoist, models/wavenet/model.py)."""
+    w_g, b_g = [], []
+    for i in range(hp.layers):
+        blk = params[f'residual_block_{i + 1}']
+        w_g.append(_effective_kernel(blk['conv1x1g']))          # (gin, G)
+        b_g.append(_bias(blk['conv1x1g'], hp.gate_channels))
+    wg = jnp.stack(w_g, axis=1).reshape(hp.gin_channels, -1)    # (gin, L*G)
+    bg = jnp.concatenate(b_g)
+    return g_emb.astype(jnp.float32) @ wg.astype(jnp.float32) + bg
+
+
 def _dilations(hp: Hparams):
     lps = hp.layers // hp.stacks
     return [2 ** (i % lps) for i in range(hp.layers)]
 
 
-def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
+def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool):
     L = hp.layers
     R = hp.residual_channels
     G = hp.gate_channels
@@ -139,13 +155,13 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
     nr = 1 if (gaussian or categorical) else out_ch // 3
     log_scale_min = float(hp.log_scale_min_gauss if gaussian else hp.log_scale_min)
     p_lane = _round_up(out_ch, LANE)  # params lane padding (out_ch may exceed LANE)
-    init_id = 127 * hp.quantize_channels // 256  # categorical silence init
+    init_id = hp.quantize_channels // 2  # mulaw_quantize(0): categorical silence init
 
     chunk_cond = B_PAD <= 16  # slab (CHUNK, B_PAD, L*G) bf16 must fit in VMEM
     packed_noise = gaussian  # 1 noise value per (step, seq): pack into lanes
 
     def kernel(c_hbm, noise_hbm, first_w, first_b, w_tap, b_tap, w_os, b_os,
-               w_cond, b_cond, w_s1, b_s1, w_s2, b_s2,
+               w_cond, b_cond, g_cond, w_s1, b_s1, w_s2, b_s2,
                *out_and_scratch):
         if want_params:
             (samples_hbm, params_hbm, c_vmem, noise_vmem, samples_vmem, params_vmem,
@@ -178,10 +194,12 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
                 # conditioning projections for the whole slab in one MXU matmul,
                 # off the per-step critical path
                 flat = c_vmem[:].reshape(CHUNK * B_PAD, LANE).astype(jnp.bfloat16)
-                cond_vmem[:] = (jnp.dot(flat, w_cond[:],
-                                        preferred_element_type=jnp.float32)
-                                + b_cond[:]).reshape(CHUNK, B_PAD, L * G) \
-                    .astype(jnp.bfloat16)
+                cond_slab = (jnp.dot(flat, w_cond[:],
+                                     preferred_element_type=jnp.float32)
+                             + b_cond[:]).reshape(CHUNK, B_PAD, L * G)
+                if has_g:
+                    cond_slab = cond_slab + g_cond[:][None]  # time-invariant bias
+                cond_vmem[:] = cond_slab.astype(jnp.bfloat16)
 
             def step_body(si, _):
                 t = ci * CHUNK + si
@@ -193,6 +211,8 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
                     c_t = c_vmem[si, :, :]                        # (B_PAD, 128) padded
                     cond_all = jnp.dot(c_t.astype(jnp.bfloat16), w_cond[:],
                                        preferred_element_type=jnp.float32) + b_cond[:]
+                    if has_g:
+                        cond_all = cond_all + g_cond[:]
 
                 skips = jnp.zeros((B_PAD, S), jnp.float32)
                 for li in range(L):
@@ -291,8 +311,8 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool):
 
 @partial(jax.jit, static_argnames=('hp', 'interpret', 'return_params'))
 def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
-                noise: jnp.ndarray, hp: Hparams, interpret: bool = False,
-                return_params: bool = True
+                noise: jnp.ndarray, hp: Hparams, g_cond: Optional[jnp.ndarray] = None,
+                interpret: bool = False, return_params: bool = True
                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the AR kernel.
 
@@ -301,6 +321,7 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         c_up: (B, T, cin) upsampled conditioning (already [0,1]-normalized).
         noise: (B, T, nr+1) pre-sampled noise: column 0 is the Gaussian eps /
             logistic noise, columns 1..nr are MoL Gumbel noise (unused for Gaussian).
+        g_cond: optional (B, L*G) merged global-conditioning bias (pack_global).
         return_params: also stream the distribution params back (eval/debug). Off by
             default for synthesis: the lane-padded params output costs LANE/out_ch
             (64x for Gaussian) extra HBM and DMA on long audio.
@@ -311,6 +332,11 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     B_PAD = max(SUBLANE, _round_up(B, SUBLANE))
     T_pad = _round_up(T, CHUNK)
     R = hp.residual_channels
+    has_g = g_cond is not None
+    LG = hp.layers * hp.gate_channels
+    g_in = jnp.zeros((B_PAD, LG), jnp.float32)
+    if has_g:
+        g_in = g_in.at[:B].set(g_cond.astype(jnp.float32))
     categorical = hp.input_type == 'mulaw-quantize'
     gaussian = hp.out_channels == 2 and not categorical
     noise_lanes = _round_up(noise.shape[-1], LANE)
@@ -326,7 +352,7 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         n_in = jnp.zeros((T_pad, B_PAD, noise_lanes), jnp.float32)
         n_in = n_in.at[:T, :B, :noise.shape[-1]].set(jnp.transpose(noise, (1, 0, 2)))
 
-    kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD, return_params)
+    kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD, return_params, has_g)
 
     noise_slab = (pltpu.VMEM((CHUNK, LANE), jnp.float32) if gaussian
                   else pltpu.VMEM((CHUNK, B_PAD, noise_lanes), jnp.float32))
@@ -356,7 +382,7 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),        # c stays in HBM
                   pl.BlockSpec(memory_space=pltpu.ANY)]        # noise stays in HBM
-                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
@@ -365,7 +391,7 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     )(c_in, n_in,
       weights['first_w'], weights['first_b'], weights['w_tap'], weights['b_tap'],
       weights['w_os'], weights['b_os'], weights['w_cond'], weights['b_cond'],
-      weights['w_s1'], weights['b_s1'], weights['w_s2'], weights['b_s2'])
+      g_in, weights['w_s1'], weights['b_s1'], weights['w_s2'], weights['b_s2'])
 
     samples = outs[0] if isinstance(outs, (tuple, list)) else outs
     audio = samples[:T, :B].T

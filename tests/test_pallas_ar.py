@@ -58,7 +58,7 @@ def test_supports_gates():
     hp = default_hparams()
     assert wavenet_ar.supports(hp)  # default: raw scalar, gaussian, cin=80
     hp2 = default_hparams().replace(gin_channels=16)
-    assert not wavenet_ar.supports(hp2)  # global conditioning → scan fallback
+    assert wavenet_ar.supports(hp2)  # global conditioning is kernel-supported
     hp3 = default_hparams()
     hp3.input_type = 'mulaw-quantize'
     hp3.quantize_channels = 256
@@ -90,10 +90,13 @@ def test_kernel_matches_scan_special_configs(variant):
     assert wavenet_ar.supports(hp)
     state, model, c, c_up = _setup(hp)
     if variant == 'weight_norm':
-        # make wn_g visibly non-trivial so a reparam bug would show
+        # make wn_g visibly non-trivial so a reparam bug would show. The upsample
+        # convs (weight-normalized too) are left alone: both paths consume the same
+        # c_up, so scaling them only amplifies bf16 noise without diagnostic value.
         state = state.replace(params=jax.tree_util.tree_map_with_path(
-            lambda p, x: x * 3.0 if 'wn_g' in jax.tree_util.keystr(p) else x,
-            state.params))
+            lambda p, x: x * 3.0 if ('wn_g' in jax.tree_util.keystr(p)
+                                     and 'upsample' not in jax.tree_util.keystr(p))
+            else x, state.params))
 
     noise = wavenet_ar.make_noise(hp, jax.random.PRNGKey(7), 2, c_up.shape[1])
     weights = wavenet_ar.pack_params(state.params, hp)
@@ -144,3 +147,67 @@ def _setup_q(hp):
     c_up = jax.jit(lambda p, cc: model.apply(
         {'params': p}, cc, method=WaveNet.upsample_conditioning))(state.params, c)
     return state, model, c, c_up
+
+
+def test_kernel_global_conditioning_matches_scan():
+    """Speaker-conditioned generation through the kernel: the merged (B, L*G)
+    global bias (pack_global) must reproduce the scan path's per-layer conv1x1g adds
+    (reference wavenet.py:151-158)."""
+    hp = default_hparams()
+    hp.parse(TINY + ',out_channels=2,gin_channels=16,n_speakers=4')
+    assert wavenet_ar.supports(hp)
+    B, Tc = 2, 8
+    rng = np.random.default_rng(0)
+    batch = dict(audio=rng.uniform(-0.5, 0.5, (B, Tc * 32)).astype(np.float32),
+                 input_lengths=np.full((B,), Tc * 32, np.int32),
+                 mel_conditions=rng.uniform(0, 1, (B, Tc, 80)).astype(np.float32),
+                 speaker_ids=np.asarray([1, 3], np.int32))
+    state = wt.create_train_state(hp, jax.random.PRNGKey(0), batch)
+    model = WaveNet(hp)
+    c = jnp.asarray(batch['mel_conditions'])
+    g = jnp.asarray(batch['speaker_ids'])
+    c_up = jax.jit(lambda p, cc: model.apply(
+        {'params': p}, cc, method=WaveNet.upsample_conditioning))(state.params, c)
+
+    noise = wavenet_ar.make_noise(hp, jax.random.PRNGKey(7), B, c_up.shape[1])
+    weights = wavenet_ar.pack_params(state.params, hp)
+    g_emb = model.apply({'params': state.params}, g, method=WaveNet._embed_global)
+    g_cond = wavenet_ar.pack_global(state.params, hp, g_emb)
+    audio_pk, params_pk = wavenet_ar.generate_ar(weights, c_up, noise, hp,
+                                                 g_cond=g_cond, interpret=True)
+
+    out_scan = model.apply({'params': state.params}, jax.random.PRNGKey(7), c,
+                           g, None, None, jnp.asarray(audio_pk),
+                           method=WaveNet.incremental)
+    diff = np.abs(np.asarray(out_scan['params']) - np.asarray(params_pk)).max()
+    assert diff < 2e-2, f'gin kernel/scan divergence {diff}'
+
+    # speakerless vs speaker-conditioned output must actually differ
+    audio_ng, _ = wavenet_ar.generate_ar(weights, c_up, noise, hp, interpret=True)
+    assert float(np.abs(np.asarray(audio_pk) - np.asarray(audio_ng)).max()) > 1e-4
+
+
+def test_generate_batch_tiling(monkeypatch):
+    """B > B_MAX must tile over kernel launches (padded tail) — same distribution
+    params as the scan teacher-forced cross-check on the full batch."""
+    monkeypatch.setattr(wavenet_ar, 'B_MAX', 4)
+    hp = default_hparams()
+    hp.parse(TINY + ',out_channels=2')
+    B, Tc = 6, 4
+    rng = np.random.default_rng(3)
+    batch = dict(audio=rng.uniform(-0.5, 0.5, (2, 4 * 32)).astype(np.float32),
+                 input_lengths=np.full((2,), 4 * 32, np.int32),
+                 mel_conditions=rng.uniform(0, 1, (2, 4, 80)).astype(np.float32))
+    state = wt.create_train_state(hp, jax.random.PRNGKey(0), batch)
+    model = WaveNet(hp)
+    c = jnp.asarray(rng.uniform(0, 1, (B, Tc, 80)).astype(np.float32))
+    out = wt.generate(state.params, hp, jax.random.PRNGKey(1), c,
+                      use_pallas=True, return_params=True)
+    assert out['audio'].shape == (B, Tc * 32)
+    assert out['params'].shape[0] == B
+
+    out_scan = model.apply({'params': state.params}, jax.random.PRNGKey(7), c,
+                           None, None, None, jnp.asarray(out['audio']),
+                           method=WaveNet.incremental)
+    diff = np.abs(np.asarray(out_scan['params']) - np.asarray(out['params'])).max()
+    assert diff < 2e-2, f'tiled kernel/scan divergence {diff}'
