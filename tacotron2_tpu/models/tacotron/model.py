@@ -167,9 +167,12 @@ class Tacotron(nn.Module):
         if is_synthesis:
             if max_iters is None:
                 max_iters = hp.max_iters
-            T_steps = max_iters
-            teacher_frames = jnp.zeros((T_steps, B, hp.num_mels), jnp.float32)
-            use_teacher = jnp.zeros((T_steps,), bool)
+            # chunked decode with early exit (reference dynamic_decode stops when all
+            # sequences finish, tacotron.py:169/custom_decoder.py:105): scan CHUNK
+            # steps per lax.while_loop iteration, stop when every stop-token fired
+            chunk = max(1, min(hp.decoder_chunk_size, max_iters))
+            n_chunks = -(-max_iters // chunk)
+            T_steps = n_chunks * chunk
         else:
             assert mel_targets.shape[1] % r == 0, 'mel targets must be padded to a multiple of r'
             T_steps = mel_targets.shape[1] // r
@@ -195,18 +198,91 @@ class Tacotron(nn.Module):
         )
 
         cell_cls = DecoderCell
-        if hp.remat_decoder:
+        if hp.remat_decoder and not is_synthesis:
             # rematerialize the decoder step on the backward pass: trades recompute
             # for activation memory (the TPU analog of the reference's
             # tacotron_swap_with_cpu host-offload flag, tacotron.py:173)
             cell_cls = nn.remat(DecoderCell, prevent_cse=False)
         scan = nn.scan(cell_cls, variable_broadcast='params',
                        split_rngs={'params': False, 'dropout': True, 'zoneout': True},
-                       in_axes=0, out_axes=0, length=T_steps,
+                       in_axes=0, out_axes=0,
+                       length=chunk if is_synthesis else T_steps,
                        unroll=hp.decoder_scan_unroll)
         cell = scan(hp, deterministic, not is_synthesis, self.dtype, name='decoder')
-        final_carry, (frames, stop_logits, alignments) = cell(
-            init_carry, (teacher_frames, use_teacher))
+
+        use_fused = (not is_synthesis and hp.fused_decoder
+                     and len(tuple(hp.prenet_layers)) == 2
+                     and hp.decoder_layers == 2
+                     and not self.is_initializing())
+        if use_fused:
+            # custom-VJP fused decoder scan: same math, hand-written backward that
+            # defers the big LSTM weight-grad matmuls out of the reverse scan
+            # (ops/fused_decoder.py). Params are created by the nn.scan path at
+            # init and read back here, so checkpoints are layout-identical.
+            from ...ops import fused_decoder as fd
+            dec_params = self.scope.get_variable('params', 'decoder')
+            cfg = fd.config_from_hp(hp, self.dtype, deterministic)
+            keep = 1.0 - hp.tacotron_dropout_rate
+            if keep < 1.0:
+                k1, k2 = jax.random.split(self.make_rng('dropout'))
+                m1 = jax.random.bernoulli(
+                    k1, keep, (T_steps, B, hp.prenet_layers[0])
+                ).astype(self.dtype) / keep
+                m2 = jax.random.bernoulli(
+                    k2, keep, (T_steps, B, hp.prenet_layers[1])
+                ).astype(self.dtype) / keep
+            else:
+                m1 = jnp.ones((T_steps, B, hp.prenet_layers[0]), self.dtype)
+                m2 = jnp.ones((T_steps, B, hp.prenet_layers[1]), self.dtype)
+            if deterministic or hp.tacotron_zoneout_rate == 0.0:
+                zo = None  # zoneout expectation form
+            else:
+                zkeep = 1.0 - hp.tacotron_zoneout_rate
+                zks = jax.random.split(self.make_rng('zoneout'), 4)
+                zo = tuple(jax.random.bernoulli(
+                    k, zkeep, (T_steps, B, hp.decoder_lstm_units)
+                ).astype(self.dtype) for k in zks)
+            frames, stop_logits, alignments = fd.decoder_scan(
+                cfg, dec_params, keys, values, attn_mask,
+                teacher_frames, use_teacher.astype(jnp.float32), m1, m2, zo)
+            # stop tracking (reference TacoTestHelper semantics), outside the vjp
+            stop_prob = jax.nn.sigmoid(stop_logits)
+            hit = (jnp.any(stop_prob > 0.5, axis=-1) if hp.stop_at_any
+                   else jnp.all(stop_prob > 0.5, axis=-1))     # (T, B)
+            final_carry = dict(finished=jnp.any(hit, axis=0))
+        elif not is_synthesis:
+            final_carry, (frames, stop_logits, alignments) = cell(
+                init_carry, (teacher_frames, use_teacher))
+        else:
+            # free-running: teacher inputs are unused placeholders, one chunk's worth
+            chunk_xs = (jnp.zeros((chunk, B, hp.num_mels), jnp.float32),
+                        jnp.zeros((chunk,), bool))
+            # stop-logit fill is "already stopped" so length recovery
+            # (synthesizer._get_output_lengths) treats unvisited steps as finished
+            bufs0 = (jnp.zeros((T_steps, B, hp.num_mels * r), jnp.float32),
+                     jnp.full((T_steps, B, r), 1e3, jnp.float32),
+                     jnp.zeros((T_steps, B, T_in), jnp.float32))
+
+            def body_fn(cell, state):
+                carry, (fb, sb, ab), i = state
+                carry, (f, s, a) = cell(carry, chunk_xs)
+                off = i * chunk
+                fb = jax.lax.dynamic_update_slice(fb, f, (off, 0, 0))
+                sb = jax.lax.dynamic_update_slice(sb, s, (off, 0, 0))
+                ab = jax.lax.dynamic_update_slice(ab, a, (off, 0, 0))
+                return carry, (fb, sb, ab), i + 1
+
+            def cond_fn(cell, state):
+                carry, _, i = state
+                return (i < n_chunks) & ~jnp.all(carry['finished'])
+
+            state0 = (init_carry, bufs0, jnp.int32(0))
+            if self.is_mutable_collection('params'):
+                state = body_fn(cell, state0)  # init pass: create params, no loop
+            else:
+                state = nn.while_loop(cond_fn, body_fn, cell, state0,
+                                      split_rngs={'dropout': True, 'zoneout': True})
+            final_carry, (frames, stop_logits, alignments), _ = state
 
         # (T_steps, B, M*r) → (B, T_steps*r, M)
         decoder_output = frames.transpose(1, 0, 2).reshape(B, T_steps * r, hp.num_mels)

@@ -135,3 +135,57 @@ def test_lr_schedule(tiny_hp):
     assert float(schedules.tacotron_learning_rate(hp, 0)) == pytest.approx(1e-3)
     assert float(schedules.tacotron_learning_rate(hp, hp.tacotron_start_decay)) == pytest.approx(1e-3)
     assert float(schedules.tacotron_learning_rate(hp, 10_000_000)) == pytest.approx(1e-4)
+
+
+def test_synthesis_chunked_matches_unchunked(tiny_hp):
+    """The chunked early-exit decode (nn.while_loop over CHUNK-step scans) must be
+    numerically identical to one straight scan when no early exit triggers.
+    Dropout off so the two paths' rng folding can't diverge; stop projection biased
+    hard negative so untrained weights can't fire an early exit."""
+    hp = default_hparams()
+    hp.parse(TINY + ',tacotron_dropout_rate=0.0,decoder_chunk_size=4')
+    hp_one = hp.replace(decoder_chunk_size=8)
+    batch = make_batch(hp)
+    state = tt.create_train_state(hp, jax.random.PRNGKey(0), batch)
+    params = jax.tree_util.tree_map(lambda x: x, state.params)
+    params['decoder']['stop_projection']['bias'] = (
+        params['decoder']['stop_projection']['bias'] - 100.0)
+    variables = {'params': params, 'batch_stats': state.batch_stats}
+
+    def run(h):
+        model = Tacotron(h)
+        return model.apply(variables, batch['inputs'], batch['input_lengths'],
+                           max_iters=8, deterministic=True,
+                           rngs={'dropout': jax.random.PRNGKey(1)})
+    out_chunked, out_single = run(hp), run(hp_one)
+    np.testing.assert_allclose(np.asarray(out_chunked['mel_outputs']),
+                               np.asarray(out_single['mel_outputs']), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_chunked['stop_token_prediction']),
+                               np.asarray(out_single['stop_token_prediction']),
+                               atol=1e-5)
+
+
+def test_synthesis_early_exit_stops_decoding(tiny_hp):
+    """With the stop projection biased to fire immediately, the while_loop must exit
+    after the first chunk: later steps keep the 'already stopped' fill value."""
+    hp = default_hparams()
+    hp.parse(TINY + ',tacotron_dropout_rate=0.0,decoder_chunk_size=4')
+    batch = make_batch(hp)
+    state = tt.create_train_state(hp, jax.random.PRNGKey(0), batch)
+    params = jax.tree_util.tree_map(lambda x: x, state.params)
+    import flax
+    params = flax.core.unfreeze(params) if hasattr(flax.core, 'unfreeze') else params
+    params['decoder']['stop_projection']['bias'] = (
+        params['decoder']['stop_projection']['bias'] + 100.0)
+    variables = {'params': params, 'batch_stats': state.batch_stats}
+    model = Tacotron(hp)
+    out = model.apply(variables, batch['inputs'], batch['input_lengths'],
+                      max_iters=16, deterministic=True,
+                      rngs={'dropout': jax.random.PRNGKey(1)})
+    stops = np.asarray(out['stop_token_prediction'])  # (B, 16*r)
+    r = hp.outputs_per_step
+    # first chunk (4 steps * r) computed: logits ~100, not the 1e3 fill
+    assert np.all(stops[:, :4 * r] < 500.0)
+    # remaining chunks never ran: fill value survives
+    assert np.all(stops[:, 4 * r:] == 1e3)
+    assert bool(np.all(np.asarray(out['stop_finished'])))
