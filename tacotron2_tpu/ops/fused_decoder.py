@@ -1,0 +1,459 @@
+"""Fused (custom-VJP) Tacotron decoder scan.
+
+Why this exists: XLA's autodiff of the decoder `lax.scan` accumulates the big LSTM
+weight gradients (1792x4096 + 2048x4096 f32 = ~63 MB) in the reverse-scan carry —
+~120 MB of HBM read-modify-write per decoder step, x512 steps = ~60 GB of gradient
+traffic per train step. That accumulator traffic, not FLOPs, is what made the
+backward pass dominate the round-1 train step (CLAUDE.md: "the scanned decoder
+fwd+bwd dominates").
+
+This module reimplements the teacher-forced decoder scan (the step chain
+prenet→LSTM×2→attention→projections, reference Architecture_wrappers.py:169-213)
+with a hand-written VJP:
+
+  - forward: one `lax.scan`, saving small per-step residuals (gate pre-activations,
+    cell states, contexts — ~0.5 GB bf16 at full size) to HBM;
+  - backward: a reverse `lax.scan` that propagates ONLY the sequential data-flow
+    gradients (dh/dc/dcontext/dalignment-state) and EMITS the per-step gate/input
+    gradients; the fiddly per-step pieces (location conv, energy, softmax) are
+    differentiated with a local `jax.vjp` over a recomputed attention stage;
+  - weight gradients: computed AFTER the scan as a handful of large MXU matmuls
+    over the stacked sequences (dW = einsum('tbi,tbo->io', inputs, dgates)).
+
+Net effect: gradient accumulator traffic drops from O(T * |W|) to O(|residuals|),
+and the weight-grad FLOPs run as dense (T*B, in)x(T*B, out) matmuls instead of 512
+rank-B updates.
+
+Stochasticity (always-on prenet dropout, zoneout) enters as pre-sampled mask
+arrays, so the function itself is deterministic and the VJP exact. The zoneout
+train form `(1-z)*dropout(new-old, z) + old` algebraically reduces to
+`where(mask, new, old)` (the (1-z) and 1/keep factors cancel), so train mode passes
+bernoulli keep-gates and eval mode passes the (1-z) expectation scalar.
+
+Scope: teacher-available modes (train / eval / GTA) with 2 prenet layers and
+2 decoder LSTM layers (the reference's fixed architecture); the model falls back to
+the nn.scan path otherwise and for synthesis (which uses the early-exit while_loop).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -2.0 ** 32 + 1.0  # matches attention.py
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    num_mels: int
+    r: int
+    prenet1: int
+    prenet2: int
+    units: int               # decoder LSTM units
+    attention_dim: int
+    attention_filters: int
+    attention_kernel: int
+    cumulate: bool
+    smoothing: bool
+    zoneout: float           # used in eval (expectation) mode
+    deterministic: bool      # True → zoneout expectation, no zoneout masks
+    stop_at_any: bool
+    unroll: int = 1          # scan unroll (amortizes per-iteration overhead)
+    dtype: Any = jnp.float32
+
+
+def supports(hp) -> bool:
+    """Fused path covers the reference's fixed decoder architecture."""
+    return (len(tuple(hp.prenet_layers)) == 2 and hp.decoder_layers == 2
+            and not hp.smoothing or True)  # smoothing handled via the vjp stage
+
+
+def config_from_hp(hp, dtype, deterministic: bool) -> DecoderConfig:
+    return DecoderConfig(
+        num_mels=hp.num_mels, r=hp.outputs_per_step,
+        prenet1=hp.prenet_layers[0], prenet2=hp.prenet_layers[1],
+        units=hp.decoder_lstm_units, attention_dim=hp.attention_dim,
+        attention_filters=hp.attention_filters,
+        attention_kernel=hp.attention_kernel[0],
+        cumulate=hp.cumulative_weights, smoothing=hp.smoothing,
+        zoneout=hp.tacotron_zoneout_rate, deterministic=deterministic,
+        stop_at_any=hp.stop_at_any, unroll=hp.decoder_scan_unroll, dtype=dtype)
+
+
+def _weights(params: Dict, cfg: DecoderConfig) -> Dict[str, jnp.ndarray]:
+    """Flatten the flax decoder param tree; matmul weights pre-cast to cfg.dtype."""
+    dt = cfg.dtype
+    att = params['attention']
+    return dict(
+        p1_k=params['prenet']['dense_1']['kernel'].astype(dt),
+        p1_b=params['prenet']['dense_1']['bias'].astype(dt),
+        p2_k=params['prenet']['dense_2']['kernel'].astype(dt),
+        p2_b=params['prenet']['dense_2']['bias'].astype(dt),
+        g1_k=params['lstm_1']['gates']['kernel'].astype(dt),
+        g1_b=params['lstm_1']['gates']['bias'].astype(dt),
+        g2_k=params['lstm_2']['gates']['kernel'].astype(dt),
+        g2_b=params['lstm_2']['gates']['bias'].astype(dt),
+        q_k=att['query_layer']['kernel'].astype(dt),
+        loc_k=att['location_convolution']['kernel'].astype(dt),
+        loc_b=att['location_convolution']['bias'].astype(dt),
+        l_k=att['location_layer']['kernel'].astype(dt),
+        v_a=att['attention_variable_projection'].astype(jnp.float32),
+        b_a=att['attention_bias'].astype(jnp.float32),
+        f_k=params['frame_projection']['kernel'].astype(dt),
+        f_b=params['frame_projection']['bias'].astype(dt),
+        s_k=params['stop_projection']['kernel'].astype(dt),
+        s_b=params['stop_projection']['bias'].astype(dt),
+    )
+
+
+def _lstm_fwd(z, c_prev):
+    """Gate nonlinearity (ZoneoutLSTMCell forget_bias=1.0). Returns (c_new, h_new)."""
+    i, g, f, o = jnp.split(z, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f + 1.0) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return c_new, h_new
+
+
+def _lstm_bwd(z, c_prev, dh_new, dc_post, a_c):
+    """Backward through the gate nonlinearity + cell-zoneout mixing.
+
+    dh_new: total gradient on h_new; dc_post: gradient on the post-zoneout cell.
+    Returns (dz, dc_prev_from_gates) — the (1-a_c) bypass is added by the caller.
+    """
+    i, g, f, o = jnp.split(z, 4, axis=-1)
+    si = jax.nn.sigmoid(i)
+    tg = jnp.tanh(g)
+    sf = jax.nn.sigmoid(f + 1.0)
+    so = jax.nn.sigmoid(o)
+    c_new = sf * c_prev + si * tg
+    tc = jnp.tanh(c_new)
+    dc_new = dh_new * so * (1.0 - tc * tc) + a_c * dc_post
+    do = dh_new * tc * so * (1.0 - so)
+    df = dc_new * c_prev * sf * (1.0 - sf)
+    di = dc_new * tg * si * (1.0 - si)
+    dg = dc_new * si * (1.0 - tg * tg)
+    dz = jnp.concatenate([di, dg, df, do], axis=-1)
+    dc_prev = dc_new * sf
+    return dz, dc_prev
+
+
+def _att_align(cfg: DecoderConfig, W, keys, mask, pq, state_prev):
+    """Recomputable attention stage: (pq, prev alignment state) → alignments.
+
+    Mirrors LocationSensitiveAttention.__call__ (attention.py:51-101) minus the
+    context matmul (handled separately so dvalues can be batched post-scan)."""
+    f = jax.lax.conv_general_dilated(
+        state_prev[..., None].astype(cfg.dtype), W['loc_k'], (1,), 'SAME',
+        dimension_numbers=('NWC', 'WIO', 'NWC')) + W['loc_b']
+    pl = f @ W['l_k']
+    u = keys + pq[:, None, :] + pl + W['b_a']       # promotes to f32 (b_a is f32)
+    e = jnp.sum(W['v_a'][0] * jnp.tanh(u), axis=2)
+    if mask is not None:
+        e = jnp.where(mask > 0, e, NEG_INF)
+    if cfg.smoothing:
+        sig = jax.nn.sigmoid(e)
+        return sig / jnp.sum(sig, axis=-1, keepdims=True)
+    return jax.nn.softmax(e, axis=-1)
+
+
+def _step_fwd(cfg: DecoderConfig, W, keys, values, mask, carry, xs):
+    c1, h1, c2, h2, ctx, state, prev = carry
+    teacher_t, use_t, m1_t, m2_t, ac1, ah1, ac2, ah2 = xs
+    dt = cfg.dtype
+
+    dec_in = jnp.where(use_t > 0, teacher_t, prev)                    # (B, M) f32
+    r1 = jax.nn.relu(dec_in.astype(dt) @ W['p1_k'] + W['p1_b'])
+    p1 = r1 * m1_t
+    r2 = jax.nn.relu(p1 @ W['p2_k'] + W['p2_b'])
+    p2 = r2 * m2_t
+
+    x0 = jnp.concatenate([p2, ctx], axis=-1)
+    z1 = jnp.concatenate([x0, h1], axis=-1) @ W['g1_k'] + W['g1_b']
+    c1n, x1 = _lstm_fwd(z1, c1)
+    c1p = ac1 * c1n + (1.0 - ac1) * c1
+    h1p = ah1 * x1 + (1.0 - ah1) * h1
+
+    z2 = jnp.concatenate([x1, h2], axis=-1) @ W['g2_k'] + W['g2_b']
+    c2n, x2 = _lstm_fwd(z2, c2)
+    c2p = ac2 * c2n + (1.0 - ac2) * c2
+    h2p = ah2 * x2 + (1.0 - ah2) * h2
+
+    pq = x2 @ W['q_k']
+    align = _att_align(cfg, W, keys, mask, pq, state)                 # (B, T_in) f32
+    new_state = state + align if cfg.cumulate else align
+    ctx_f32 = jnp.einsum('bt,btm->bm', align, values)                 # f32
+
+    proj_in = jnp.concatenate([x2, ctx_f32.astype(dt)], axis=-1)
+    frames = (proj_in @ W['f_k'] + W['f_b']).astype(jnp.float32)      # (B, M*r)
+    stops = (proj_in @ W['s_k'] + W['s_b']).astype(jnp.float32)       # (B, r)
+
+    new_carry = (c1p, h1p, c2p, h2p, ctx_f32.astype(dt), new_state,
+                 frames[:, -cfg.num_mels:])
+    outs = (frames, stops, align,
+            # residuals (bf16 where possible)
+            r1, r2, z1, z2, x1, x2, c1p, h1p, c2p, h2p,
+            ctx_f32.astype(dt), state)                                # state = PREV state
+    return new_carry, outs
+
+
+def _forward(cfg: DecoderConfig, params, keys, values, mask,
+             teacher, use_teacher, m1, m2, zo):
+    """Runs the forward scan. Returns ((frames, stops, aligns), residuals)."""
+    W = _weights(params, cfg)
+    T, B = teacher.shape[0], teacher.shape[1]
+    dt = cfg.dtype
+    U = cfg.units
+    T_in = keys.shape[1]
+
+    if zo is None:
+        keep = jnp.asarray(1.0 - cfg.zoneout, dt)
+        ones = jnp.ones((T, 1, 1), dt)
+        ac1 = ah1 = ac2 = ah2 = ones * keep   # broadcast (T,1,1) against (B,U)
+    else:
+        ac1, ah1, ac2, ah2 = zo
+
+    init = (jnp.zeros((B, U), dt), jnp.zeros((B, U), dt),
+            jnp.zeros((B, U), dt), jnp.zeros((B, U), dt),
+            jnp.zeros((B, values.shape[-1]), dt),
+            jnp.zeros((B, T_in), jnp.float32),
+            jnp.zeros((B, cfg.num_mels), jnp.float32))
+
+    step = partial(_step_fwd, cfg, W, keys, values, mask)
+    _, outs = jax.lax.scan(step, init, (teacher, use_teacher, m1, m2,
+                                        ac1, ah1, ac2, ah2), unroll=cfg.unroll)
+    frames, stops, aligns = outs[0], outs[1], outs[2]
+    residuals = outs[3:]
+    return (frames, stops, aligns), residuals
+
+
+# ----------------------------------------------------------------------
+# custom VJP
+# ----------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def decoder_scan(cfg: DecoderConfig, params, keys, values, mask,
+                 teacher, use_teacher, m1, m2, zo):
+    """Teacher-forced decoder over T steps.
+
+    Args:
+        params: the flax 'decoder' param subtree.
+        keys: (B, T_in, D) precomputed memory projection (cfg.dtype).
+        values: (B, T_in, M_enc) encoder outputs.
+        mask: (B, T_in) float memory mask or None.
+        teacher: (T, B, num_mels) f32 teacher frames.
+        use_teacher: (T,) f32 0/1 coin flips.
+        m1, m2: (T, B, prenet*) pre-scaled dropout masks (mask/keep), cfg.dtype.
+        zo: None (eval: zoneout expectation) or 4-tuple of (T, B, units) bernoulli
+            keep-gates (train zoneout), cfg.dtype.
+    Returns: (frames (T,B,M*r) f32, stops (T,B,r) f32, aligns (T,B,T_in) f32).
+    """
+    out, _ = _forward(cfg, params, keys, values, mask, teacher, use_teacher,
+                      m1, m2, zo)
+    return out
+
+
+def _fwd_rule(cfg, params, keys, values, mask, teacher, use_teacher, m1, m2, zo):
+    out, residuals = _forward(cfg, params, keys, values, mask, teacher,
+                              use_teacher, m1, m2, zo)
+    frames, stops, aligns = out
+    res = (params, keys, values, mask, teacher, use_teacher, m1, m2, zo,
+           frames, aligns, residuals)
+    return out, res
+
+
+def _shift1(x, init_val=0.0):
+    """x[t] → x[t-1] along axis 0 (x[-1] := init)."""
+    return jnp.concatenate([jnp.full_like(x[:1], init_val), x[:-1]], axis=0)
+
+
+def _bwd_rule(cfg, res, g):
+    (params, keys, values, mask, teacher, use_teacher, m1, m2, zo,
+     frames, aligns, residuals) = res
+    g_frames, g_stops, g_aligns = g
+    (r1s, r2s, z1s, z2s, x1s, x2s, c1ps, h1ps, c2ps, h2ps, ctxs, state_prevs) \
+        = residuals
+    W = _weights(params, cfg)
+    dt = cfg.dtype
+    T, B = teacher.shape[0], teacher.shape[1]
+    U = cfg.units
+    M = cfg.num_mels
+    T_in = keys.shape[1]
+    D = cfg.attention_dim
+
+    if zo is None:
+        keep = jnp.asarray(1.0 - cfg.zoneout, dt)
+        ones = jnp.ones((T, 1, 1), dt)
+        ac1s = ah1s = ac2s = ah2s = ones * keep
+    else:
+        ac1s, ah1s, ac2s, ah2s = zo
+
+    # previous-step values feeding step t (shifted sequences, zeros at t=0)
+    c1_prevs = _shift1(c1ps)
+    c2_prevs = _shift1(c2ps)
+
+    def att_stage(pq, state_prev, keys_, loc_k, loc_b, l_k, v_a, b_a):
+        Wloc = dict(W, loc_k=loc_k, loc_b=loc_b, l_k=l_k, v_a=v_a, b_a=b_a)
+        return _att_align(cfg, Wloc, keys_, mask, pq, state_prev)
+
+    def step_bwd(carry, xs):
+        (dc1, dh1, dc2, dh2, dctx, dprev, dstate,
+         dloc_k, dloc_b, dl_k, dva, dba) = carry
+        (gf_t, gs_t, ga_t, r1, r2, z1, z2, x1, x2, c1_prev, c2_prev,
+         state_prev, align_t, teacher_t, use_t, m1_t, m2_t,
+         ac1, ah1, ac2, ah2) = xs
+
+        # projections
+        dframes = gf_t.at[:, -M:].add(dprev)                       # (B, M*r) f32
+        dproj = (dframes.astype(dt) @ W['f_k'].T
+                 + gs_t.astype(dt) @ W['s_k'].T)                   # (B, U+M_enc)
+        dx2 = dproj[:, :U]
+        dctx_total = dproj[:, U:].astype(jnp.float32) + dctx       # (B, M_enc)
+
+        # attention: context matmul backward + recomputed stage vjp
+        dalign = (jnp.einsum('bm,btm->bt', dctx_total,
+                             values.astype(jnp.float32))
+                  + ga_t + (dstate if cfg.cumulate else 0.0))      # (B, T_in) f32
+        pq = x2 @ W['q_k']
+        _, att_vjp = jax.vjp(att_stage, pq, state_prev, keys,
+                             W['loc_k'], W['loc_b'], W['l_k'], W['v_a'], W['b_a'])
+        dpq, dstate_c, dkeys_t, dK_t, dKb_t, dWl_t, dva_t, dba_t = att_vjp(dalign)
+        dstate_next = (dstate if cfg.cumulate else jnp.zeros_like(dstate)) + dstate_c
+
+        # lstm 2 (x2 == h2n)
+        dh2n = dx2 + (dpq @ W['q_k'].T) + ah2 * dh2
+        dz2, dc2_gates = _lstm_bwd(z2, c2_prev, dh2n, dc2, ac2)
+        dc2_next = dc2_gates + (1.0 - ac2) * dc2
+        din2 = dz2 @ W['g2_k'].T                                   # (B, U+U)
+        dx1 = din2[:, :U]
+        dh2_next = din2[:, U:] + (1.0 - ah2) * dh2
+
+        # lstm 1 (x1 == h1n)
+        dh1n = dx1 + ah1 * dh1
+        dz1, dc1_gates = _lstm_bwd(z1, c1_prev, dh1n, dc1, ac1)
+        dc1_next = dc1_gates + (1.0 - ac1) * dc1
+        din1 = dz1 @ W['g1_k'].T                                   # (B, p2+M_enc+U)
+        dp2 = din1[:, :cfg.prenet2]
+        dctx_next = din1[:, cfg.prenet2:cfg.prenet2 + values.shape[-1]] \
+            .astype(jnp.float32)
+        dh1_next = din1[:, cfg.prenet2 + values.shape[-1]:] + (1.0 - ah1) * dh1
+
+        # prenet
+        dp2pre = dp2 * m2_t * (r2 > 0)
+        dp1 = dp2pre @ W['p2_k'].T
+        dp1pre = dp1 * m1_t * (r1 > 0)
+        ddec = (dp1pre @ W['p1_k'].T).astype(jnp.float32)
+        dprev_next = jnp.where(use_t > 0, 0.0, ddec)
+        dteacher_t = jnp.where(use_t > 0, ddec, 0.0)
+
+        new_carry = (dc1_next, dh1_next, dc2_next, dh2_next, dctx_next,
+                     dprev_next, dstate_next,
+                     dloc_k + dK_t, dloc_b + dKb_t, dl_k + dWl_t,
+                     dva + dva_t, dba + dba_t)
+        emits = (dz1, dz2, dpq, dp1pre, dp2pre, dframes,
+                 dkeys_t.astype(dt), dteacher_t)
+        return new_carry, emits
+
+    zero = lambda *s: jnp.zeros(s, jnp.float32)
+    init = (zero(B, U), zero(B, U), zero(B, U), zero(B, U),
+            zero(B, values.shape[-1]), zero(B, M), zero(B, T_in),
+            jnp.zeros_like(W['loc_k'], jnp.float32),
+            jnp.zeros_like(W['loc_b'], jnp.float32),
+            jnp.zeros_like(W['l_k'], jnp.float32),
+            jnp.zeros_like(W['v_a'], jnp.float32),
+            jnp.zeros_like(W['b_a'], jnp.float32))
+
+    xs = (g_frames, g_stops, g_aligns, r1s, r2s, z1s, z2s, x1s, x2s,
+          c1_prevs, c2_prevs, state_prevs, aligns, teacher, use_teacher,
+          m1, m2, ac1s, ah1s, ac2s, ah2s)
+    final, emits = jax.lax.scan(step_bwd, init, xs, reverse=True,
+                                unroll=cfg.unroll)
+    (dc1_0, dh1_0, dc2_0, dh2_0, dctx_0, dprev_0, dstate_0,
+     dloc_k, dloc_b, dl_k, dva, dba) = final
+    dz1s, dz2s, dpqs, dp1pres, dp2pres, dframes_s, dkeys_s, dteacher = emits
+
+    # ---- deferred weight gradients: big dense matmuls over the whole sequence ----
+    f32 = jnp.float32
+    ein = partial(jnp.einsum, precision=None,
+                  preferred_element_type=f32)
+
+    p2s = r2s * m2
+    ctx_prevs = _shift1(ctxs)
+    h1_prevs = _shift1(h1ps)
+    h2_prevs = _shift1(h2ps)
+    in1 = jnp.concatenate([p2s, ctx_prevs, h1_prevs], axis=-1)     # (T,B,·) dt
+    in2 = jnp.concatenate([x1s, h2_prevs], axis=-1)
+    dW_g1 = ein('tbi,tbo->io', in1, dz1s)
+    db_g1 = dz1s.astype(f32).sum((0, 1))
+    dW_g2 = ein('tbi,tbo->io', in2, dz2s)
+    db_g2 = dz2s.astype(f32).sum((0, 1))
+
+    proj_ins = jnp.concatenate([x2s, ctxs], axis=-1)
+    dW_f = ein('tbi,tbo->io', proj_ins, dframes_s.astype(dt))
+    db_f = dframes_s.sum((0, 1))
+    dW_s = ein('tbi,tbo->io', proj_ins, g_stops.astype(dt))
+    db_s = g_stops.astype(f32).sum((0, 1))
+
+    dW_q = ein('tbi,tbo->io', x2s, dpqs)
+
+    prev_frames = _shift1(frames[:, :, -M:])
+    dec_ins = jnp.where(use_teacher[:, None, None] > 0, teacher, prev_frames)
+    dW_p1 = ein('tbi,tbo->io', dec_ins.astype(dt), dp1pres)
+    db_p1 = dp1pres.astype(f32).sum((0, 1))
+    p1s = r1s * m1
+    dW_p2 = ein('tbi,tbo->io', p1s, dp2pres)
+    db_p2 = dp2pres.astype(f32).sum((0, 1))
+
+    dkeys = dkeys_s.astype(f32).sum(0)                             # (B, T_in, D)
+
+    # dvalues: ctx_t = align_t @ values. Total per-step dctx was consumed inside
+    # the scan; rebuild it exactly like the scan did: proj slice + carried din1
+    # slice from step t+1.
+    dproj_full = (dframes_s.astype(dt) @ W['f_k'].T
+                  + g_stops.astype(dt) @ W['s_k'].T)
+    dctx_proj = dproj_full[:, :, U:].astype(f32)
+    din1_ctx = (dz1s @ W['g1_k'].T)[:, :, cfg.prenet2:cfg.prenet2
+                                    + values.shape[-1]].astype(f32)
+    # step t's ctx feeds x0 at t+1: shift the din1 slice back by one
+    dctx_from_next = jnp.concatenate([din1_ctx[1:], jnp.zeros_like(din1_ctx[:1])],
+                                     axis=0)
+    dctx_total_s = dctx_proj + dctx_from_next
+    dvalues = ein('tbs,tbm->bsm', aligns.astype(dt), dctx_total_s.astype(dt))
+
+    dparams = {
+        'prenet': {'dense_1': {'kernel': dW_p1, 'bias': db_p1},
+                   'dense_2': {'kernel': dW_p2, 'bias': db_p2}},
+        'lstm_1': {'gates': {'kernel': dW_g1, 'bias': db_g1}},
+        'lstm_2': {'gates': {'kernel': dW_g2, 'bias': db_g2}},
+        'attention': {
+            'query_layer': {'kernel': dW_q},
+            'location_convolution': {'kernel': dloc_k, 'bias': dloc_b},
+            'location_layer': {'kernel': dl_k},
+            'attention_variable_projection': dva,
+            'attention_bias': dba,
+        },
+        'frame_projection': {'kernel': dW_f, 'bias': db_f},
+        'stop_projection': {'kernel': dW_s, 'bias': db_s},
+    }
+    # cast param grads to the original param dtypes (optax expects matching trees)
+    dparams = jax.tree_util.tree_map(
+        lambda gv, pv: gv.astype(pv.dtype), dparams,
+        {k: params[k] for k in dparams})
+
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    dzo = None if zo is None else tuple(jnp.zeros_like(a) for a in zo)
+    return (dparams, dkeys.astype(keys.dtype), dvalues.astype(values.dtype),
+            dmask, dteacher, jnp.zeros_like(use_teacher),
+            jnp.zeros_like(m1), jnp.zeros_like(m2), dzo)
+
+
+decoder_scan.defvjp(_fwd_rule, _bwd_rule)
+
+
+def decoder_scan_reference(cfg, params, keys, values, mask, teacher,
+                           use_teacher, m1, m2, zo):
+    """Same forward WITHOUT the custom VJP (XLA autodiff) — test oracle."""
+    out, _ = _forward(cfg, params, keys, values, mask, teacher, use_teacher,
+                      m1, m2, zo)
+    return out
