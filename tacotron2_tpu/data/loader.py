@@ -77,8 +77,17 @@ class TacotronDataset:
                   if self._hp.predict_linear else None)
         return (input_data, mel, token_target, linear, len(mel))
 
-    def train_batches(self, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite generator of bucketed, padded train batches."""
+    def train_batches(self, seed: int = 0,
+                      process_shard: Optional[Sequence[int]] = None
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite generator of bucketed, padded train batches.
+
+        Batch composition (bucketing, batch shuffle, within-batch order, pad sizes)
+        is decided from metadata alone with a seeded RNG, so it is identical on every
+        host. With process_shard=(index, count) — the multi-host path — only this
+        host's contiguous slice of each global batch is loaded from disk and
+        returned; hosts then assemble the global batch with
+        jax.make_array_from_process_local_data (mesh.shard_batch)."""
         hp = self._hp
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(self._train_meta))
@@ -90,49 +99,68 @@ class TacotronDataset:
                 if offset >= len(order):
                     order = rng.permutation(len(self._train_meta))
                     offset = 0
-                group.append(self._load_example(self._train_meta[order[offset]]))
+                group.append(int(order[offset]))
                 offset += 1
-            group.sort(key=lambda x: x[-1])
+            # bucket by mel length from metadata (== len(mel), written by the
+            # preprocessor); stable sort keeps draw order on ties
+            group.sort(key=lambda i: int(self._train_meta[i][4]))
             batches = [group[i:i + n] for i in range(0, len(group), n)]
             rng.shuffle(batches)
-            for batch in batches:
-                yield self._prepare_batch(batch, rng)
+            for bidx in batches:
+                yield self._prepare_batch_indices(bidx, rng, process_shard)
 
     def test_batches(self) -> List[Dict[str, np.ndarray]]:
         """Fixed eval batches (bucketed once, reference feeder.py:121-150)."""
         hp = self._hp
         rng = np.random.default_rng(hp.tacotron_data_random_state)
-        examples = [self._load_example(m) for m in self._test_meta]
-        examples.sort(key=lambda x: x[-1])
+        idxs = list(range(len(self._test_meta)))
+        idxs.sort(key=lambda i: int(self._test_meta[i][4]))
         n = hp.tacotron_batch_size
-        batches = [examples[i:i + n] for i in range(0, len(examples), n)]
-        return [self._prepare_batch(b, rng) for b in batches]
+        batches = [idxs[i:i + n] for i in range(0, len(idxs), n)]
+        return [self._prepare_batch_indices(b, rng, None, meta=self._test_meta)
+                for b in batches]
 
     # ------------------------------------------------------------------
-    def _prepare_batch(self, batch, rng) -> Dict[str, np.ndarray]:
+    def _prepare_batch_indices(self, bidx: List[int], rng,
+                               process_shard: Optional[Sequence[int]],
+                               meta: Optional[List] = None) -> Dict[str, np.ndarray]:
         hp = self._hp
         r = hp.outputs_per_step
-        idx = rng.permutation(len(batch))
-        batch = [batch[i] for i in idx]
+        meta = self._train_meta if meta is None else meta
+        idx = rng.permutation(len(bidx))
+        bidx = [bidx[int(i)] for i in idx]
+        metas = [meta[i] for i in bidx]
 
-        input_lengths = np.asarray([len(x[0]) for x in batch], np.int32)
-        targets_lengths = np.asarray([x[-1] for x in batch], np.int32)
-
+        # global padded shapes from metadata only (must agree across hosts)
+        seqs = [np.asarray(text_to_sequence(m[5], self._cleaner_names), np.int32)
+                for m in metas]
+        input_lengths = np.asarray([len(s) for s in seqs], np.int32)
+        targets_lengths = np.asarray([int(m[4]) for m in metas], np.int32)
         in_max = _round_up(int(input_lengths.max()), hp.pad_text_multiple)
         mel_max = _round_up(_round_up(int(targets_lengths.max()), r),
                             _round_up(hp.pad_mel_multiple, r))
-        tok_max = mel_max  # stop targets padded alongside mel frames
 
+        if process_shard is not None:
+            pi, pc = process_shard
+            assert len(bidx) % pc == 0, \
+                f'batch {len(bidx)} not divisible by process count {pc}'
+            per = len(bidx) // pc
+            lo, hi = pi * per, (pi + 1) * per
+        else:
+            lo, hi = 0, len(bidx)
+
+        # only this host's rows touch the filesystem
+        batch = [self._load_example(m) for m in metas[lo:hi]]
         inputs = np.stack([np.pad(x[0], (0, in_max - len(x[0])),
                                   constant_values=self._pad) for x in batch])
         mel_targets = np.stack([np.pad(x[1], [(0, mel_max - len(x[1])), (0, 0)],
                                        constant_values=self._target_pad) for x in batch])
-        token_targets = np.stack([np.pad(x[2], (0, tok_max - len(x[2])),
+        token_targets = np.stack([np.pad(x[2], (0, mel_max - len(x[2])),
                                          constant_values=self._token_pad) for x in batch])
-        out = dict(inputs=inputs, input_lengths=input_lengths,
+        out = dict(inputs=inputs, input_lengths=input_lengths[lo:hi],
                    mel_targets=mel_targets.astype(np.float32),
                    stop_token_targets=token_targets.astype(np.float32),
-                   targets_lengths=targets_lengths)
+                   targets_lengths=targets_lengths[lo:hi])
         if hp.predict_linear:
             out['linear_targets'] = np.stack([
                 np.pad(x[3], [(0, mel_max - len(x[3])), (0, 0)],

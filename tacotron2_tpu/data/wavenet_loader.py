@@ -105,28 +105,15 @@ class WaveNetDataset:
             return int(hp.max_time_sec * hp.sample_rate)
         return hp.max_time_steps
 
-    def _crop(self, x, c, rng):
-        """Hop-aligned random crop to max_time_steps (feeder.py:368-401)."""
-        hp = self._hp
-        mts = self._max_time_steps()
-        if c is not None:
-            assert len(x) % len(c) == 0 and len(x) // len(c) == hp.get_hop_size()
-            if mts is not None and len(x) > mts:
-                hop = hp.get_hop_size()
-                max_steps = _ensure_divisible(mts, hop, True)
-                max_frames = max_steps // hop
-                start = int(rng.integers(0, len(c) - max_frames))
-                x = x[start * hop: (start + max_frames) * hop]
-                c = c[start: start + max_frames, :]
-        else:
-            if mts is not None and len(x) > mts:
-                start = int(rng.integers(0, len(x) - mts))
-                x = x[start: start + mts]
-        return x, c
-
     # ------------------------------------------------------------------
-    def train_batches(self, seed: int = 0, group_batches: int = 64
-                      ) -> Iterator[Dict[str, np.ndarray]]:
+    def _audio_len(self, meta) -> int:
+        """Audio sample count from the npy header (no data read) — lets batch
+        composition and crop draws run identically on every host without loading
+        other hosts' rows."""
+        return int(np.load(self._resolve(meta[0], 'audio'), mmap_mode='r').shape[0])
+
+    def train_batches(self, seed: int = 0, group_batches: int = 64,
+                      process_shard=None) -> Iterator[Dict[str, np.ndarray]]:
         hp = self._hp
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(self._train_meta))
@@ -138,38 +125,80 @@ class WaveNetDataset:
                 if offset >= len(order):
                     order = rng.permutation(len(self._train_meta))
                     offset = 0
-                group.append(self._load_example(self._train_meta[order[offset]]))
+                group.append(int(order[offset]))
                 offset += 1
-            group.sort(key=lambda e: e[-1])
+            group.sort(key=lambda i: self._audio_len(self._train_meta[i]))
             batches = [group[i:i + n] for i in range(0, len(group), n)]
             rng.shuffle(batches)
-            for b in batches:
-                yield self._prepare_batch(b, rng)
+            for bidx in batches:
+                yield self._prepare_batch_indices(bidx, rng, process_shard)
 
     def test_batches(self) -> List[Dict[str, np.ndarray]]:
         hp = self._hp
         rng = np.random.default_rng(hp.wavenet_data_random_state)
-        examples = [self._load_example(m) for m in self._test_meta]
-        examples.sort(key=lambda e: e[-1])
+        idxs = list(range(len(self._test_meta)))
+        idxs.sort(key=lambda i: self._audio_len(self._test_meta[i]))
         n = hp.wavenet_batch_size
-        batches = [examples[i:i + n] for i in range(0, len(examples), n)]
-        return [self._prepare_batch(b, rng) for b in batches]
+        batches = [idxs[i:i + n] for i in range(0, len(idxs), n)]
+        return [self._prepare_batch_indices(b, rng, None, meta=self._test_meta)
+                for b in batches]
 
     # ------------------------------------------------------------------
-    def _prepare_batch(self, batch, rng) -> Dict[str, np.ndarray]:
+    def _prepare_batch_indices(self, bidx, rng, process_shard, meta=None
+                               ) -> Dict[str, np.ndarray]:
         hp = self._hp
         hop = hp.get_hop_size()
-        cropped = [self._crop(x, c, rng) for (x, c, g, l) in batch]
-        gs = [g for (_, _, g, _) in batch]
+        meta = self._train_meta if meta is None else meta
+        metas = [meta[i] for i in bidx]
 
-        input_lengths = np.asarray([len(x) for x, _ in cropped], np.int32)
+        # crop decisions for EVERY row (same rng stream on all hosts), lengths from
+        # npy headers; actual data loads happen only for this host's slice below
         mts = self._max_time_steps()
+        lens, starts = [], []
+        for m in metas:
+            n_samples = self._audio_len(m)
+            if mts is not None and n_samples > mts:
+                if self.local_condition:
+                    max_steps = _ensure_divisible(mts, hop, True)
+                    n_frames = n_samples // hop
+                    starts.append(int(rng.integers(0, n_frames - max_steps // hop)))
+                    lens.append(max_steps)
+                else:
+                    starts.append(int(rng.integers(0, n_samples - mts)))
+                    lens.append(mts)
+            else:
+                starts.append(0)
+                lens.append(n_samples)
+
+        if process_shard is not None:
+            pi, pc = process_shard
+            assert len(bidx) % pc == 0, \
+                f'batch {len(bidx)} not divisible by process count {pc}'
+            per = len(bidx) // pc
+            s_lo, s_hi = pi * per, (pi + 1) * per
+        else:
+            s_lo, s_hi = 0, len(bidx)
+
+        cropped, gs = [], []
+        for m, start, length in zip(metas[s_lo:s_hi], starts[s_lo:s_hi],
+                                    lens[s_lo:s_hi]):
+            x, c, g, _ = self._load_example(m)
+            if self.local_condition:
+                assert len(x) % len(c) == 0 and len(x) // len(c) == hop
+                x = x[start * hop: start * hop + length]
+                c = c[start: start + length // hop, :]
+            else:
+                x = x[start: start + length]
+            cropped.append((x, c))
+            gs.append(g)
+
+        input_lengths = np.asarray(lens[s_lo:s_hi], np.int32)
         if mts is not None:
             # static shape: always the hop-divisible crop length
             max_len = _ensure_divisible(mts, hop, True)
         else:
-            max_len = int(input_lengths.max())
-            max_len = _ensure_divisible(max_len, hop, False)
+            # GLOBAL max so every host pads to the same shape
+            max_len = _ensure_divisible(int(max(lens)), hop, False)
 
         if is_mulaw_quantize(hp.input_type):
             audio_batch = np.stack([

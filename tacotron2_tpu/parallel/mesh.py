@@ -47,9 +47,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch dict onto the mesh, batch-axis sharded."""
+    """Place a host batch dict onto the mesh, batch-axis sharded.
+
+    Single-process: device_put the full batch. Multi-process (pod / multi-slice):
+    each process passes only ITS rows (the loader's process_shard slice) and the
+    global array is assembled from the per-host shards without any cross-host data
+    movement (jax.make_array_from_process_local_data)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def local_batch_slice(batch: Dict[str, Any], process_index: int,
+                      process_count: int) -> Dict[str, Any]:
+    """This host's contiguous rows of a global batch — the fallback for data
+    sources without a native process_shard path."""
+    def slc(x):
+        B = x.shape[0]
+        assert B % process_count == 0, f'batch {B} % processes {process_count} != 0'
+        per = B // process_count
+        return x[process_index * per:(process_index + 1) * per]
+    return jax.tree_util.tree_map(slc, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

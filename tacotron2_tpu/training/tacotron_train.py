@@ -20,6 +20,7 @@ from ..config import Hparams, hparams_debug_string
 from ..data.loader import Prefetcher, TacotronDataset
 from ..ops import audio
 from ..ops.dsp_jax import inv_linear_spectrogram_jax, inv_mel_spectrogram_jax
+from ..parallel import distributed
 from ..parallel import mesh as mesh_lib
 from ..text import sequence_to_text, symbols
 from ..utils import ValueWindow, plot
@@ -114,10 +115,14 @@ def train(log_dir: str, args, hparams: Hparams):
     state = mesh_lib.replicate(state, mesh)
     train_step, eval_step = tt.make_jitted_steps(hp, mesh)
 
-    writer = create_summary_writer(tensorboard_dir)
+    # multi-host: every process computes; artifacts/checkpoints come from host 0
+    lead = jax.process_index() == 0
+    pshard = distributed.process_shard()
+    writer = create_summary_writer(tensorboard_dir) if lead else None
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
 
-    batches = Prefetcher(dataset.train_batches(seed=hp.tacotron_data_random_state),
+    batches = Prefetcher(dataset.train_batches(seed=hp.tacotron_data_random_state,
+                                               process_shard=pshard),
                          depth=8)
     test_batches = dataset.test_batches()
     log(f'{len(test_batches)} eval batches prepared')
@@ -161,7 +166,7 @@ def train(log_dir: str, args, hparams: Hparams):
 
             if step % args.eval_interval == 0 and test_batches:
                 run_eval(state, eval_step, test_batches, mesh, hp, step, writer,
-                         eval_plot_dir, eval_wav_dir, rng)
+                         eval_plot_dir, eval_wav_dir, rng, lead=lead)
 
             if (getattr(args, 'embedding_interval', 0) and
                     step % args.embedding_interval == 0 and writer is not None):
@@ -170,7 +175,8 @@ def train(log_dir: str, args, hparams: Hparams):
             if (step % args.checkpoint_interval == 0 or
                     step == args.tacotron_train_steps or step == 300):
                 save_checkpoint_artifacts(state, ckpt, eval_step, last_batch, mesh, hp,
-                                          step, plot_dir, wav_dir, mel_dir, rng)
+                                          step, plot_dir, wav_dir, mel_dir, rng,
+                                          lead=lead)
 
         log('Tacotron training complete after {} global steps!'.format(
             args.tacotron_train_steps), slack=True)
@@ -194,14 +200,23 @@ def write_embedding_projection(state, writer, step):
         log(f'embedding projection skipped: {e}')
 
 
+def _shard_global_batch(tb, mesh):
+    """Place a batch every host holds in full: multi-process slices to local rows
+    first (shard_batch assembles global arrays from per-host pieces)."""
+    ps = distributed.process_shard()
+    if ps is not None:
+        tb = mesh_lib.local_batch_slice(tb, *ps)
+    return mesh_lib.shard_batch(tb, mesh)
+
+
 def run_eval(state, eval_step, test_batches, mesh, hp, step, writer,
-             eval_plot_dir, eval_wav_dir, rng):
+             eval_plot_dir, eval_wav_dir, rng, lead=True):
     log('\nRunning evaluation at step {}'.format(step))
     sums = {}
     n = 0
     last = None
     for tb in test_batches:
-        m = eval_step(state, mesh_lib.shard_batch(tb, mesh), rng)
+        m = eval_step(state, _shard_global_batch(tb, mesh), rng)
         m = jax.device_get(m)
         last = (tb, m)
         for k in ('loss', 'before_loss', 'after_loss', 'stop_token_loss', 'linear_loss'):
@@ -214,6 +229,8 @@ def run_eval(state, eval_step, test_batches, mesh, hp, step, writer,
         for k, v in avgs.items():
             writer.add_scalar(f'eval/{k}', v, step)
         writer.flush()
+    if not lead:
+        return  # compute above is collective; file artifacts come from host 0
 
     # artifact dump from the last eval batch, sample 0 (reference train.py:286-314)
     tb, m = last
@@ -241,13 +258,17 @@ def run_eval(state, eval_step, test_batches, mesh, hp, step, writer,
 
 
 def save_checkpoint_artifacts(state, ckpt, eval_step, batch, mesh, hp, step,
-                              plot_dir, wav_dir, mel_dir, rng):
+                              plot_dir, wav_dir, mel_dir, rng, lead=True):
     log('\nSaving checkpoint + artifacts at step {}'.format(step))
-    host_state = jax.device_get(state)
-    ckpt.save(step, host_state)
+    if lead:
+        host_state = jax.device_get(state)
+        ckpt.save(step, host_state)
     if batch is None:
         return
+    # batch came from the (per-host) loader: already local rows in multi-process
     m = jax.device_get(eval_step(state, mesh_lib.shard_batch(batch, mesh), rng))
+    if not lead:
+        return
     mel_len = int(batch['targets_lengths'][0])
     mel_pred = np.asarray(m['mel_outputs'][0][:mel_len])
     mel_t = np.asarray(batch['mel_targets'][0][:mel_len])

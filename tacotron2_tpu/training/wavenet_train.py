@@ -19,6 +19,7 @@ from ..data.loader import Prefetcher
 from ..data.wavenet_loader import WaveNetDataset
 from ..ops import audio
 from ..ops.mulaw import inv_mulaw, inv_mulaw_quantize, is_mulaw, is_mulaw_quantize
+from ..parallel import distributed
 from ..parallel import mesh as mesh_lib
 from ..utils import ValueWindow, plot
 from ..utils.infolog import log
@@ -174,8 +175,11 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
     except Exception:
         writer = None
 
+    lead = jax.process_index() == 0
     time_window, loss_window = ValueWindow(100), ValueWindow(100)
-    batches = Prefetcher(dataset.train_batches(seed=hp.wavenet_data_random_state), depth=8)
+    batches = Prefetcher(dataset.train_batches(seed=hp.wavenet_data_random_state,
+                                               process_shard=distributed.process_shard()),
+                         depth=8)
     test_batches = dataset.test_batches()
     rng = jax.random.PRNGKey(hp.wavenet_random_seed)
 
@@ -213,13 +217,17 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
 
             if step % args.eval_interval == 0 and test_batches:
                 log('\nEvaluating at step {}'.format(step))
+                tb = test_batches[0]
+                ps = distributed.process_shard()
+                tb_local = mesh_lib.local_batch_slice(tb, *ps) if ps else tb
                 m = jax.device_get(eval_tf_step(state, mesh_lib.shard_batch(
-                    test_batches[0], mesh)))
+                    tb_local, mesh)))
                 log('Eval (teacher-forced) loss: {:.5f}'.format(float(m['loss'])))
                 if writer is not None:
                     writer.add_scalar('eval/loss', float(m['loss']), step)
-                eval_step(jax.device_get(state), test_batches[0], hp,
-                          eval_plot_dir, eval_wav_dir, step, writer)
+                if lead:  # AR generation artifacts: single-chip work, host 0 only
+                    eval_step(jax.device_get(state), tb, hp,
+                              eval_plot_dir, eval_wav_dir, step, writer)
 
             if (getattr(args, 'embedding_interval', 0) and hp.gin_channels > 0 and
                     step % args.embedding_interval == 0 and writer is not None):
@@ -236,10 +244,12 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
             if (step % args.checkpoint_interval == 0 or
                     step == args.wavenet_train_steps):
                 log('\nSaving checkpoint at step {}'.format(step))
-                host_state = jax.device_get(state)
-                ckpt.save(step, host_state)
+                if lead:
+                    host_state = jax.device_get(state)
+                    ckpt.save(step, host_state)
                 m = jax.device_get(eval_tf_step(state, mesh_lib.shard_batch(batch, mesh)))
-                save_log(step, batch, m, hp, plot_dir, wav_dir)
+                if lead:
+                    save_log(step, batch, m, hp, plot_dir, wav_dir)
 
         log('WaveNet training complete after {} global steps!'.format(
             args.wavenet_train_steps), slack=True)

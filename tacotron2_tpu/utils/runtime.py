@@ -12,6 +12,12 @@ import os
 
 def setup_runtime(cache_dir: str = None, fast_rng: bool = True) -> None:
     import jax
+
+    # multi-host first: jax.distributed.initialize must precede backend init
+    # (no-op unless T2_DISTRIBUTED=1 / JAX_COORDINATOR_ADDRESS is set)
+    from ..parallel import distributed
+    distributed.maybe_initialize()
+
     cache_dir = cache_dir or os.environ.get('TACO_COMPILE_CACHE',
                                             os.path.expanduser('~/.cache/tacotron2_tpu_xla'))
     try:
