@@ -117,3 +117,14 @@ def test_wav_io_roundtrip(tmp_path, hp):
     # save_wav rescales to full range; compare shape of waveform
     corr = np.corrcoef(back, wav)[0, 1]
     assert corr > 0.999
+
+
+def test_dsp_golden_vectors(hp):
+    """Pinned wav→mel/linear golden vectors (BASELINE north-star: mel MAE ≤ 1e-3).
+    Catches any numerical drift in the preemphasis→STFT→mel→dB→normalize chain."""
+    import os
+    data = np.load(os.path.join(os.path.dirname(__file__), 'golden', 'dsp_golden.npz'))
+    mel = audio.melspectrogram(data['wav'], hp)
+    lin = audio.linearspectrogram(data['wav'], hp)
+    assert float(np.mean(np.abs(mel - data['mel']))) < 1e-3
+    assert float(np.mean(np.abs(lin - data['linear']))) < 1e-3

