@@ -39,6 +39,7 @@ class WaveNetDataset:
                  base_dir: Optional[str] = None):
         self._hp = hparams
         self._base_dir = base_dir if base_dir is not None else ''
+        self._meta_dir = os.path.dirname(os.path.abspath(metadata_filename))
         with open(metadata_filename, encoding='utf-8') as f:
             self._metadata = [line.strip().split('|') for line in f]
 
@@ -90,13 +91,17 @@ class WaveNetDataset:
 
     def _resolve(self, path: str, subdir: str) -> str:
         """Resolve a metadata path: joined with base_dir, as written (map rows may
-        already embed base_dir), or under the metadata dir's artifact subdir (bare
-        filenames from train.txt rows)."""
+        already embed base_dir), or — for bare filenames — under the artifact
+        subdir next to the metadata file (wavenet_preprocess layout) or under
+        base_dir (train.txt layout)."""
         cand = os.path.join(self._base_dir, path)
         if os.path.isfile(cand):
             return cand
         if os.path.isfile(path):
             return path
+        cand = os.path.join(self._meta_dir, subdir, path)
+        if os.path.isfile(cand):
+            return cand
         return os.path.join(self._base_dir, subdir, path)
 
     def _max_time_steps(self) -> Optional[int]:

@@ -217,15 +217,26 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
 
             if step % args.eval_interval == 0 and test_batches:
                 log('\nEvaluating at step {}'.format(step))
-                tb = test_batches[0]
+                # teacher-forced loss averaged over the whole test split (the
+                # reference averages Tacotron eval over the split; WaveNet eval
+                # should not score one fixed crop forever)
                 ps = distributed.process_shard()
-                tb_local = mesh_lib.local_batch_slice(tb, *ps) if ps else tb
-                m = jax.device_get(eval_tf_step(state, mesh_lib.shard_batch(
-                    tb_local, mesh)))
-                log('Eval (teacher-forced) loss: {:.5f}'.format(float(m['loss'])))
+                tf_losses = []
+                for tb in test_batches:
+                    tb_local = mesh_lib.local_batch_slice(tb, *ps) if ps else tb
+                    m = jax.device_get(eval_tf_step(state, mesh_lib.shard_batch(
+                        tb_local, mesh)))
+                    tf_losses.append(float(m['loss']))
+                eval_loss = float(np.mean(tf_losses))
+                log('Eval (teacher-forced) loss: {:.5f} over {} batches'.format(
+                    eval_loss, len(tf_losses)))
                 if writer is not None:
-                    writer.add_scalar('eval/loss', float(m['loss']), step)
+                    writer.add_scalar('eval/loss', eval_loss, step)
                 if lead:  # AR generation artifacts: single-chip work, host 0 only
+                    # rotate through the split so successive evals score
+                    # different utterances
+                    tb = test_batches[(step // args.eval_interval)
+                                      % len(test_batches)]
                     eval_step(jax.device_get(state), tb, hp,
                               eval_plot_dir, eval_wav_dir, step, writer)
 

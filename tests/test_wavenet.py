@@ -94,6 +94,52 @@ def test_incremental_matches_parallel(hp_tiny):
     np.testing.assert_allclose(np.asarray(inc['audio']), np.asarray(y), atol=1e-6)
 
 
+def test_incremental_matches_parallel_conditioned(hp_tiny):
+    """Conditioned cross-check: the path synthesis actually uses.
+
+    Incremental output index t consumes audio y[t-1] and upsampled conditioning
+    c_up[t]; parallel output index t consumes y[t] and c_up[t]. Feeding the
+    parallel pass c_up shifted LEFT by one therefore makes parallel[:, t] consume
+    (y[t], c_up[t+1]) — exactly what incremental[:, t+1] consumes — so
+    inc_params[:, 1:] must equal parallel[:, :-1] with conditioning active.
+
+    One caveat: incremental step 0 processes the zero init sample WITH c_up[0]
+    and writes the (conditioned, nonzero) layer outputs into the ring buffers,
+    whereas the parallel pass left-pads every layer with true zeros. That extra
+    history step perturbs outputs only within the receptive field, so the
+    comparison starts at t = receptive_field."""
+    hp = hp_tiny
+    Tc = 4
+    batch = make_batch(hp, Tc=Tc)
+    hop = hp.get_hop_size()
+    T = Tc * hop
+    y = jnp.asarray(batch['audio'][:, :T])
+    c = jnp.asarray(batch['mel_conditions'][:, :Tc])
+    model = WaveNet(hp)
+    x = model.encode_input(y)
+    variables = jax.jit(lambda: model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        x, c, None, train=False))()
+
+    c_up = jax.jit(lambda v, c_: model.apply(v, c_,
+                                             method=WaveNet.upsample_conditioning))(
+        variables, c)
+    assert c_up.shape[1] == T
+    # shift conditioning left by one; the padded last frame only feeds
+    # parallel[:, -1], which the comparison drops
+    c_shift = jnp.concatenate([c_up[:, 1:], c_up[:, -1:]], axis=1)
+    parallel = jax.jit(partial(model.apply, train=False, c_is_upsampled=True))(
+        variables, x, c_shift, None)
+    inc = jax.jit(lambda v, r, c_, t: model.apply(v, r, c_, None, None, None, t,
+                                                  method=WaveNet.incremental))(
+        variables, jax.random.PRNGKey(5), c, y)
+    rf = model.receptive_field
+    assert rf < T - 1
+    np.testing.assert_allclose(np.asarray(inc['params'][:, 1 + rf:, :]),
+                               np.asarray(parallel[:, rf:-1, :]),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_free_running_generation(hp_tiny):
     hp = hp_tiny
     batch = make_batch(hp, Tc=3)
