@@ -20,9 +20,16 @@ def main():
 
     B, Tin, Tout = 32, 128, 512
     results = {}
-    for fused in ([True] if '--fused-only' in sys.argv else [False, True]):
+    if '--pallas-ab' in sys.argv:
+        variants = [('xla', 'fused_decoder=True,pallas_decoder=False'),
+                    ('pallas', 'fused_decoder=True,pallas_decoder=True')]
+    elif '--fused-only' in sys.argv:
+        variants = [(True, 'fused_decoder=True')]
+    else:
+        variants = [(False, 'fused_decoder=False'), (True, 'fused_decoder=True')]
+    for fused, hstr in variants:
         hp = default_hparams()
-        hp.parse(f'fused_decoder={fused},decoder_scan_unroll=4')
+        hp.parse(hstr + ',decoder_scan_unroll=4')
         rng = jax.random.PRNGKey(0)
         batch = dict(
             inputs=jax.random.randint(rng, (B, Tin), 2, 60),
