@@ -56,6 +56,16 @@ def main():
         best = min(times)
         results[fused] = best
         print(f'fused={fused}: train step {best*1000:.1f} ms  (loss {loss:.4f})')
+        # pipelined steady-state: dispatch N steps, fence once — what the
+        # (one-step-pipelined) training loop actually achieves; the fenced
+        # number above includes a full host round-trip per step
+        n_pipe = 10
+        t0 = time.time()
+        for _ in range(n_pipe):
+            state, m = step(state, batch, rng)
+        loss = float(m['loss'])
+        print(f'fused={fused}: pipelined {1000*(time.time()-t0)/n_pipe:.1f} '
+              f'ms/step over {n_pipe} steps (loss {loss:.4f})')
 
         if '--split' in sys.argv:
             # forward-only timing to locate the fwd/bwd split

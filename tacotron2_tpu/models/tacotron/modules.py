@@ -149,26 +149,57 @@ class BiZoneoutLSTM(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         B, T, _ = x.shape
         mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)  # (B, T)
+        U = self.units
+        zo = self.zoneout
 
         def run(cell_name, seq):
-            cell = ZoneoutLSTMCell(self.units, self.zoneout, self.zoneout,
-                                   self.dtype, name=cell_name)
+            # The cell is only CALLED at init time (to materialize its params with
+            # the standard layout); the scan below reads those params directly and
+            # hoists the input-side half of the gate matmul out of the loop — the
+            # scan body shrinks to one (B,U)@(U,4U) matmul + elementwise, which
+            # also shrinks XLA autodiff's in-loop weight-grad accumulators.
+            cell = ZoneoutLSTMCell(U, zo, zo, self.dtype, name=cell_name)
+            if self.is_initializing():
+                cell(ZoneoutLSTMCell.initial_state(B, U, x.dtype), seq[:, 0],
+                     deterministic)
+            p = self.scope.get_variable('params', cell_name)
+            K = p['gates']['kernel'].astype(self.dtype)       # (C+U, 4U)
+            b = p['gates']['bias'].astype(self.dtype)
+            Cin = seq.shape[-1]
+            xp = seq.astype(self.dtype) @ K[:Cin] + b         # (B, T, 4U) hoisted
+            Kh = K[Cin:]
+            if deterministic or zo == 0.0:
+                keys = jnp.zeros((T, 2), jnp.uint32)          # unused placeholder
+            else:
+                keys = jax.random.split(self.make_rng('zoneout'), T)
 
-            def step(mod, carry, xs):
-                xt, mt = xs
-                new_carry, out = mod(carry, xt, deterministic)
+            def step(carry, xs):
+                c_prev, h_prev = carry
+                xp_t, mt, key_t = xs
+                z = xp_t + h_prev @ Kh
+                i, g, f, o = jnp.split(z, 4, axis=-1)
+                c_new = jax.nn.sigmoid(f + 1.0) * c_prev \
+                    + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+                if deterministic:
+                    c = (1.0 - zo) * c_new + zo * c_prev
+                    h = (1.0 - zo) * h_new + zo * h_prev
+                else:
+                    k1, k2 = jax.random.split(key_t)
+                    dc = _dropout(c_new - c_prev, zo, k1)
+                    dh = _dropout(h_new - h_prev, zo, k2)
+                    c = (1.0 - zo) * dc + c_prev
+                    h = (1.0 - zo) * dh + h_prev
                 # freeze state on padded steps
-                carry = jax.tree_util.tree_map(
-                    lambda n, p: jnp.where(mt[:, None] > 0, n, p), new_carry, carry)
-                out = out * mt[:, None]
-                return carry, out
+                c = jnp.where(mt[:, None] > 0, c, c_prev)
+                h = jnp.where(mt[:, None] > 0, h, h_prev)
+                return (c, h), h_new * mt[:, None]
 
-            scan = nn.scan(step, variable_broadcast='params',
-                           split_rngs={'params': False, 'zoneout': True, 'dropout': True},
-                           in_axes=1, out_axes=1)
-            init = ZoneoutLSTMCell.initial_state(B, self.units, x.dtype)
-            _, outs = scan(cell, init, (seq, mask))
-            return outs
+            init = ZoneoutLSTMCell.initial_state(B, U, x.dtype)
+            _, outs = jax.lax.scan(
+                step, init,
+                (jnp.transpose(xp, (1, 0, 2)), mask.T, keys), unroll=2)
+            return jnp.transpose(outs, (1, 0, 2))
 
         fw = run('fw', x)
         bw = _reverse_sequences(run('bw', _reverse_sequences(x, lengths)), lengths)
@@ -245,20 +276,41 @@ class CBHG(nn.Module):
         mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(y.dtype)
 
         def run(cell_name, seq):
-            cell = nn.GRUCell(self.rnn_units, dtype=self.dtype, name=cell_name)
+            # Params come from a real nn.GRUCell call at init (standard layout);
+            # the scan reads them directly with the input-side projections
+            # (ir/iz/in) hoisted out of the loop as one big matmul — the body
+            # keeps only the (B,H)@(H,3H) hidden matmul + elementwise.
+            H = self.rnn_units
+            cell = nn.GRUCell(H, dtype=self.dtype, name=cell_name)
+            if self.is_initializing():
+                cell(jnp.zeros((B, H), y.dtype), seq[:, 0])
+            p = self.scope.get_variable('params', cell_name)
+            dt = self.dtype
+            Ki = jnp.concatenate([p['ir']['kernel'], p['iz']['kernel'],
+                                  p['in']['kernel']], axis=1).astype(dt)
+            bi = jnp.concatenate([p['ir']['bias'], p['iz']['bias'],
+                                  p['in']['bias']]).astype(dt)
+            Kh = jnp.concatenate([p['hr']['kernel'], p['hz']['kernel'],
+                                  p['hn']['kernel']], axis=1).astype(dt)
+            bhn = p['hn']['bias'].astype(dt)
+            ip = seq.astype(dt) @ Ki + bi                     # (B, T, 3H) hoisted
 
-            def step(mod, carry, xs):
-                xt, mt = xs
-                new_carry, out = mod(carry, xt)
-                carry = jax.tree_util.tree_map(
-                    lambda n, p: jnp.where(mt[:, None] > 0, n, p), new_carry, carry)
-                return carry, out * mt[:, None]
+            def step(carry, xs):
+                h = carry
+                ip_t, mt = xs
+                hh = h @ Kh                                   # (B, 3H)
+                r = jax.nn.sigmoid(ip_t[:, :H] + hh[:, :H])
+                z = jax.nn.sigmoid(ip_t[:, H:2 * H] + hh[:, H:2 * H])
+                n = jnp.tanh(ip_t[:, 2 * H:] + r * (hh[:, 2 * H:] + bhn))
+                new_h = (1.0 - z) * n + z * h
+                new_h = jnp.where(mt[:, None] > 0, new_h, h)
+                return new_h, new_h * mt[:, None]
 
-            scan = nn.scan(step, variable_broadcast='params', split_rngs={'params': False},
-                           in_axes=1, out_axes=1)
-            init = jnp.zeros((B, self.rnn_units), y.dtype)
-            _, outs = scan(cell, init, (seq, mask))
-            return outs
+            init = jnp.zeros((B, H), y.dtype)
+            _, outs = jax.lax.scan(step, init,
+                                   (jnp.transpose(ip, (1, 0, 2)), mask.T),
+                                   unroll=2)
+            return jnp.transpose(outs, (1, 0, 2))
 
         fw = run('gru_fw', y)
         bw = _reverse_sequences(run('gru_bw', _reverse_sequences(y, lengths)), lengths)

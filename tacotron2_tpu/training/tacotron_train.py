@@ -129,6 +129,26 @@ def train(log_dir: str, args, hparams: Hparams):
 
     step = int(jax.device_get(state.step))
     last_batch = None
+    pending = None  # (step_num, metrics, start_time) of the still-running step
+
+    def resolve(p):
+        """Fetch a dispatched step's metrics (blocks until the device finishes).
+
+        Called AFTER the next step has been dispatched, so the host round-trip
+        (~25 ms over the remote tunnel) overlaps the next step's device compute
+        instead of serializing with it — this one-step pipeline is worth ~25%
+        wall-clock at full size."""
+        p_step, p_metrics, p_start = p
+        loss = float(jax.device_get(p_metrics['loss']))
+        time_window.append(time.time() - p_start)
+        loss_window.append(loss)
+        message = 'Step {:7d} [{:.3f} sec/step, loss={:.5f}, avg_loss={:.5f}]'.format(
+            p_step, time_window.average, loss, loss_window.average)
+        log(message, end='\r', slack=(p_step % args.checkpoint_interval == 0))
+        if np.isnan(loss) or loss > 100.0:
+            log('Loss exploded to {:.5f} at step {}'.format(loss, p_step))
+            raise RuntimeError('Loss exploded')
+
     try:
         while step < args.tacotron_train_steps:
             start = time.time()
@@ -137,23 +157,29 @@ def train(log_dir: str, args, hparams: Hparams):
             sb = mesh_lib.shard_batch(batch, mesh)
             profiling = getattr(args, 'profile_step', 0) == step + 1
             if profiling:
+                if pending is not None:
+                    resolve(pending)
+                    pending = None
                 log('\nCapturing profiler trace at step {}'.format(step + 1))
                 jax.profiler.start_trace(tensorboard_dir)
             state, metrics = train_step(state, sb, rng)
-            loss = float(jax.device_get(metrics['loss']))
+            step += 1  # deterministic: avoids a per-step device fetch of state.step
             if profiling:
+                float(jax.device_get(metrics['loss']))  # fence inside the trace
                 jax.profiler.stop_trace()
-            step = int(jax.device_get(state.step))
-            time_window.append(time.time() - start)
-            loss_window.append(loss)
-
-            message = 'Step {:7d} [{:.3f} sec/step, loss={:.5f}, avg_loss={:.5f}]'.format(
-                step, time_window.average, loss, loss_window.average)
-            log(message, end='\r', slack=(step % args.checkpoint_interval == 0))
-
-            if np.isnan(loss) or loss > 100.0:
-                log('Loss exploded to {:.5f} at step {}'.format(loss, step))
-                raise RuntimeError('Loss exploded')
+            if pending is not None:
+                resolve(pending)
+            pending = (step, metrics, start)
+            interval_now = (step % args.summary_interval == 0
+                            or (test_batches and step % args.eval_interval == 0)
+                            or step % args.checkpoint_interval == 0
+                            or step in (300, args.tacotron_train_steps)
+                            or (getattr(args, 'embedding_interval', 0)
+                                and step % args.embedding_interval == 0))
+            if interval_now:
+                # interval work reads state/metrics synchronously: drain the pipe
+                resolve(pending)
+                pending = None
 
             if step % args.summary_interval == 0 and writer is not None:
                 log('\nWriting summary at step {}'.format(step))
@@ -178,6 +204,9 @@ def train(log_dir: str, args, hparams: Hparams):
                                           step, plot_dir, wav_dir, mel_dir, rng,
                                           lead=lead)
 
+        if pending is not None:
+            resolve(pending)
+            pending = None
         log('Tacotron training complete after {} global steps!'.format(
             args.tacotron_train_steps), slack=True)
         return save_dir
