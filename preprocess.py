@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Dataset preprocessing CLI (parity with reference preprocess.py arg surface)."""
+"""Dataset preprocessing CLI: wavs + transcripts → mel/linear/audio .npys + train.txt.
+
+Flag surface mirrors the reference `preprocess.py` (LJSpeech + M-AILABS selection
+flags); the signal chain lives in `tacotron2_tpu.data.preprocessor`.
+"""
 
 import argparse
 import os
@@ -10,17 +14,17 @@ from tacotron2_tpu.data import corpora, preprocessor
 
 
 def write_metadata(metadata, out_dir, hparams):
+    """Write train.txt (pipe-separated rows) and log corpus-level stats."""
     with open(os.path.join(out_dir, 'train.txt'), 'w', encoding='utf-8') as f:
         for m in metadata:
-            f.write('|'.join([str(x) for x in m]) + '\n')
-    mel_frames = sum(int(m[4]) for m in metadata)
-    timesteps = sum(int(m[3]) for m in metadata)
-    hours = timesteps / hparams.sample_rate / 3600
-    print('Wrote {} utterances, {} mel frames, {} audio timesteps, ({:.2f} hours)'.format(
-        len(metadata), mel_frames, timesteps, hours))
-    print('Max input length (text chars): {}'.format(max(len(m[5]) for m in metadata)))
-    print('Max mel frames length: {}'.format(max(int(m[4]) for m in metadata)))
-    print('Max audio timesteps length: {}'.format(max(int(m[3]) for m in metadata)))
+            f.write('|'.join(str(x) for x in m) + '\n')
+    n_frames = sum(int(m[4]) for m in metadata)
+    n_samples = sum(int(m[3]) for m in metadata)
+    print('corpus: {} utterances | {} mel frames | {} samples | {:.2f} h of audio'.format(
+        len(metadata), n_frames, n_samples, n_samples / hparams.sample_rate / 3600))
+    print('longest utterance: {} chars, {} mel frames, {} samples'.format(
+        max(len(m[5]) for m in metadata), max(int(m[4]) for m in metadata),
+        max(int(m[3]) for m in metadata)))
 
 
 def run_preprocess(args, hparams):
@@ -28,33 +32,35 @@ def run_preprocess(args, hparams):
         args.base_dir, args.dataset, args.language, args.voice, args.reader,
         args.merge_books == 'True', args.book)
     out_dir = os.path.join(args.base_dir, args.output)
-    mel_dir = os.path.join(out_dir, 'mels')
-    wav_dir = os.path.join(out_dir, 'audio')
-    linear_dir = os.path.join(out_dir, 'linear')
-    for d in (mel_dir, wav_dir, linear_dir):
+    dirs = {name: os.path.join(out_dir, name) for name in ('mels', 'audio', 'linear')}
+    for d in dirs.values():
         os.makedirs(d, exist_ok=True)
     metadata = preprocessor.build_from_path(
-        hparams, input_folders, mel_dir, linear_dir, wav_dir, args.n_jobs)
+        hparams, input_folders, dirs['mels'], dirs['linear'], dirs['audio'], args.n_jobs)
     write_metadata(metadata, out_dir, hparams)
 
 
 def main():
-    print('initializing preprocessing..')
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(
+        description='Preprocess a speech corpus into training features.')
     parser.add_argument('--base_dir', default='')
     parser.add_argument('--hparams', default='',
-                        help='Hyperparameter overrides as a comma-separated list of name=value pairs')
+                        help="comma-separated 'name=value' hyperparameter overrides")
     parser.add_argument('--dataset', default='LJSpeech-1.1')
-    parser.add_argument('--language', default='en_US')
-    parser.add_argument('--voice', default='female')
-    parser.add_argument('--reader', default='mary_ann')
-    parser.add_argument('--merge_books', default='False')
-    parser.add_argument('--book', default='northandsouth')
+    parser.add_argument('--language', default='en_US', help='M-AILABS language tag')
+    parser.add_argument('--voice', default='female', help='M-AILABS voice group')
+    parser.add_argument('--reader', default='mary_ann', help='M-AILABS reader name')
+    parser.add_argument('--merge_books', default='False',
+                        help="'True' pools every book of the reader (M-AILABS)")
+    parser.add_argument('--book', default='northandsouth',
+                        help='single M-AILABS book when not merging')
     parser.add_argument('--output', default='training_data')
-    parser.add_argument('--n_jobs', type=int, default=cpu_count())
+    parser.add_argument('--n_jobs', type=int, default=cpu_count(),
+                        help='parallel worker processes')
     args = parser.parse_args()
 
-    assert args.merge_books in ('False', 'True')
+    if args.merge_books not in ('False', 'True'):
+        raise ValueError("--merge_books takes 'True' or 'False'")
     hparams = default_hparams()
     hparams.parse(args.hparams)
     run_preprocess(args, hparams)

@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Synthesis CLI (reference synthesize.py): Tacotron / WaveNet / end-to-end Tacotron-2."""
+"""Synthesis CLI: drive a trained Tacotron, a trained WaveNet, or both chained.
+
+Flag surface mirrors the reference `synthesize.py` so existing invocations keep
+working; the implementations live in `tacotron2_tpu.inference`.
+"""
 
 import argparse
 import os
@@ -7,78 +11,92 @@ import os
 from tacotron2_tpu.config import default_hparams
 from tacotron2_tpu.utils.infolog import log
 
+MODES = ('eval', 'synthesis', 'live')
+MODELS = ('Tacotron', 'WaveNet', 'Tacotron-2')
+
 
 def get_sentences(args, hparams):
+    """Text to synthesize: `--text_list` file (one sentence per line) or the
+    built-in eval corpus (config.py sentences)."""
     if args.text_list:
-        with open(args.text_list, 'rb') as f:
-            sentences = list(map(lambda l: l.decode('utf-8')[:-1], f.readlines()))
-    else:
-        sentences = hparams.sentences
-    return sentences
+        with open(args.text_list, encoding='utf-8') as f:
+            return [line.rstrip('\n') for line in f]
+    return hparams.sentences
 
 
 def synthesize(args, hparams, taco_checkpoint, wave_checkpoint, sentences):
-    log('Running End-to-End TTS Evaluation. Model: {}'.format(args.name or args.model))
-    log('Synthesizing mel-spectrograms from text..')
+    """Chained two-stage synthesis: text → mel (Tacotron) → waveform (WaveNet)."""
+    log('End-to-end synthesis, run name: {}'.format(args.name or args.model))
+    log('Stage 1/2: Tacotron text->mel')
     from tacotron2_tpu.inference.tacotron_synthesizer import tacotron_synthesize
     wavenet_in_dir = tacotron_synthesize(args, hparams, taco_checkpoint, sentences)
-    log('Synthesizing audio from mel-spectrograms.. (This may take a while)')
+    log('Stage 2/2: WaveNet mel->waveform (autoregressive — the slow part)')
     from tacotron2_tpu.inference.wavenet_synthesizer import wavenet_synthesize
     wavenet_synthesize(args, hparams, wave_checkpoint, wavenet_in_dir)
-    log('Tacotron-2 TTS synthesis complete!')
+    log('End-to-end synthesis done.')
+
+
+def _log_dir(base_dir, name):
+    return os.path.join(base_dir, 'logs-' + name)
 
 
 def main():
     from tacotron2_tpu.utils.runtime import setup_runtime
     setup_runtime()
-    accepted_modes = ['eval', 'synthesis', 'live']
-    parser = argparse.ArgumentParser()
-    parser.add_argument('--checkpoint', default='pretrained/', help='Path to model checkpoint')
+    parser = argparse.ArgumentParser(
+        description='Synthesize speech with trained Tacotron/WaveNet checkpoints.')
+    parser.add_argument('--checkpoint', default='pretrained/',
+                        help='checkpoint path override')
     parser.add_argument('--hparams', default='',
-                        help='Hyperparameter overrides as a comma-separated list of name=value pairs')
-    parser.add_argument('--name', help='Name of logging directory if the model were trained together with Tacotron-2.')
-    parser.add_argument('--tacotron_name', help='Name of logging directory of Tacotron. If trained separately')
-    parser.add_argument('--wavenet_name', help='Name of logging directory of WaveNet. If trained separately')
+                        help="comma-separated 'name=value' hyperparameter overrides")
+    parser.add_argument('--name',
+                        help='run name shared by both models (joint Tacotron-2 training)')
+    parser.add_argument('--tacotron_name',
+                        help='run name of a separately trained Tacotron')
+    parser.add_argument('--wavenet_name',
+                        help='run name of a separately trained WaveNet')
     parser.add_argument('--model', default='Tacotron-2')
     parser.add_argument('--input_dir', default='training_data/',
-                        help='folder to contain inputs sentences/targets')
+                        help='preprocessed dataset dir (GTA synthesis reads its train.txt)')
     parser.add_argument('--mels_dir', default='tacotron_output/eval/',
-                        help='folder to contain mels to synthesize audio from using the Wavenet')
+                        help='dir of mel .npys to vocode when running WaveNet standalone')
     parser.add_argument('--output_dir', default='output/',
-                        help='folder to contain synthesized mel spectrograms')
-    parser.add_argument('--mode', default='eval', help='mode of run: can be one of {}'.format(accepted_modes))
+                        help='where synthesized mels/wavs are written')
+    parser.add_argument('--mode', default='eval',
+                        help='one of {} (Tacotron only)'.format(list(MODES)))
     parser.add_argument('--GTA', default='True',
-                        help='Ground truth aligned synthesis, defaults to True, only considered in synthesis mode')
+                        help="'True'/'False': teacher-forced (ground-truth-aligned) "
+                             'synthesis; synthesis mode only')
     parser.add_argument('--text_list', default='',
-                        help='Text file contains list of texts to be synthesized. Valid if mode=eval')
+                        help='file of sentences to synthesize in eval mode')
     parser.add_argument('--speaker_id', default=None,
-                        help='Defines the speakers ids to use when running standalone Wavenet on a folder of mels. this variable must be a comma-separated list of ids')
+                        help='comma-separated speaker ids for standalone multi-speaker '
+                             'WaveNet over a mels dir')
     parser.add_argument('--base_dir', default='')
     args = parser.parse_args()
 
-    accepted_models = ['Tacotron', 'WaveNet', 'Tacotron-2']
-    if args.model not in accepted_models:
-        raise ValueError('please enter a valid model to synthesize with: {}'.format(accepted_models))
-    if args.mode not in accepted_modes:
-        raise ValueError('accepted modes are: {}, found {}'.format(accepted_modes, args.mode))
-    if args.mode == 'live' and args.model == 'Wavenet':
-        raise RuntimeError('Wavenet vocoder cannot be tested live due to its slow generation. Live only works with Tacotron!')
+    if args.model not in MODELS:
+        raise ValueError('--model must be one of {}, got {!r}'.format(list(MODELS), args.model))
+    if args.mode not in MODES:
+        raise ValueError('--mode must be one of {}, got {!r}'.format(list(MODES), args.mode))
     if args.GTA not in ('True', 'False'):
-        raise ValueError('GTA option must be either True or False')
-
-    if args.model == 'Tacotron-2':
-        if args.mode == 'live':
-            raise ValueError('Tacotron-2 does not support live mode, as the wavenet is only used in synthesis.')
+        raise ValueError("--GTA takes 'True' or 'False'")
+    if args.mode == 'live' and args.model != 'Tacotron':
+        # Autoregressive vocoding adds seconds of latency; live REPL is mel+GL only.
+        raise ValueError('live mode is Tacotron-only (Griffin-Lim playback)')
 
     hparams = default_hparams()
     hparams.parse(args.hparams)
 
-    taco_pretrained = os.path.join(args.base_dir,
-                                   'logs-' + (args.tacotron_name or args.name or args.model),
-                                   'taco_pretrained') if args.model != 'WaveNet' else None
-    wave_pretrained = os.path.join(args.base_dir,
-                                   'logs-' + (args.wavenet_name or args.name or args.model),
-                                   'wave_pretrained') if args.model != 'Tacotron' else None
+    taco_pretrained = wave_pretrained = None
+    if args.model != 'WaveNet':
+        taco_pretrained = os.path.join(
+            _log_dir(args.base_dir, args.tacotron_name or args.name or args.model),
+            'taco_pretrained')
+    if args.model != 'Tacotron':
+        wave_pretrained = os.path.join(
+            _log_dir(args.base_dir, args.wavenet_name or args.name or args.model),
+            'wave_pretrained')
 
     sentences = get_sentences(args, hparams)
 
@@ -88,7 +106,7 @@ def main():
     elif args.model == 'WaveNet':
         from tacotron2_tpu.inference.wavenet_synthesizer import wavenet_synthesize
         wavenet_synthesize(args, hparams, wave_pretrained, args.mels_dir)
-    elif args.model == 'Tacotron-2':
+    else:
         synthesize(args, hparams, taco_pretrained, wave_pretrained, sentences)
 
 
