@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Generate a synthetic char→tone corpus in LJSpeech layout.
 
-Each character a-z deterministically maps to a 90 ms pure tone (180 Hz + 6 Hz
+Each character a-z deterministically maps to a 90 ms pure tone (180 Hz + 24 Hz
 per letter index, with a soft attack/decay envelope); spaces are 90 ms of
-silence. A Tacotron trained on this must learn a monotonic character↔frame
+silence. The 24 Hz spacing keeps adjacent letters >1 mel-bin apart at the
+default 80-mel analysis, so the learned char->tone mapping is verifiable from
+synthesized audio (6 Hz spacing trains but is unmeasurable and gives attention
+a much weaker discrimination signal). A Tacotron trained on this must learn a monotonic character↔frame
 alignment and utterance-length stop tokens, making it a fast hardware
 validation corpus when LJSpeech is unavailable (zero-egress box).
 
@@ -27,7 +30,7 @@ def tone_for(ch: str) -> np.ndarray:
     n = int(SR * CHAR_MS / 1000)
     if not ch.isalpha():
         return np.zeros(n, np.float32)
-    f = 180.0 + 6.0 * (ord(ch) - ord('a'))
+    f = 180.0 + 24.0 * (ord(ch) - ord('a'))
     t = np.arange(n) / SR
     env = np.minimum(1.0, np.minimum(t / 0.01, (n / SR - t) / 0.01))
     return (0.45 * np.sin(2 * np.pi * f * t) * env).astype(np.float32)

@@ -104,6 +104,27 @@ def pack_params(params: Dict, hp: Hparams) -> Dict[str, jnp.ndarray]:
     weights['b_tap'] = jnp.stack(b_tap).astype(jnp.float32)     # (L, G)
     weights['w_os'] = jnp.stack(w_os).astype(jnp.bfloat16)      # (L, G/2, R+S)
     weights['b_os'] = jnp.stack(b_os).astype(jnp.float32)       # (L, R+S)
+
+    # Fused critical-path weights (wavenet_fused_ar): fold layer l-1's residual
+    # 1x1 into layer l's current-tap conv so the serial sample chain runs one
+    # matmul per layer instead of two:
+    #   h_l = rho*(h_{l-1} + z_{l-1} @ W_out_{l-1} + b_out_{l-1})
+    #   h_l @ W_cur_l = rho*(h_{l-1} @ W_cur_l)            (off the chain)
+    #                 + z_{l-1} @ [rho * W_out_{l-1} W_cur_l]   <- w_fused[l]
+    #                 + rho * b_out_{l-1} @ W_cur_l             <- b_fused[l]
+    rho = float(np.sqrt(0.5)) if hp.residual_legacy else 1.0
+    past = (hp.kernel_size - 1) * hp.residual_channels
+    R = hp.residual_channels
+    w_fused = [jnp.zeros((hp.gate_channels // 2, hp.gate_channels), jnp.float32)]
+    b_fused = [jnp.zeros((hp.gate_channels,), jnp.float32)]
+    for i in range(1, L):
+        w_cur = w_tap[i][past:].astype(jnp.float32)             # (R, G)
+        w_out_prev = w_os[i - 1][:, :R].astype(jnp.float32)     # (G/2, R)
+        b_out_prev = b_os[i - 1][:R].astype(jnp.float32)
+        w_fused.append(rho * (w_out_prev @ w_cur))
+        b_fused.append(rho * (b_out_prev @ w_cur))
+    weights['w_fused'] = jnp.stack(w_fused).astype(jnp.bfloat16)  # (L, G/2, G)
+    weights['b_fused'] = jnp.stack(b_fused).astype(jnp.float32)   # (L, G)
     # merged conditioning projection, input rows zero-padded to the lane width so
     # the padded c_t can be used without slicing: (128, L*G)
     wc = jnp.stack(w_c, axis=1).reshape(hp.cin_channels, -1)
@@ -160,8 +181,11 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
     chunk_cond = B_PAD <= 16  # slab (CHUNK, B_PAD, L*G) bf16 must fit in VMEM
     packed_noise = gaussian  # 1 noise value per (step, seq): pack into lanes
 
+    fused = hp.wavenet_fused_ar
+    sqh = sqrt_half  # alias for the step bodies
+
     def kernel(c_hbm, noise_hbm, first_w, first_b, w_tap, b_tap, w_os, b_os,
-               w_cond, b_cond, g_cond, w_s1, b_s1, w_s2, b_s2,
+               w_fused, b_fused, w_cond, b_cond, g_cond, w_s1, b_s1, w_s2, b_s2,
                *out_and_scratch):
         if want_params:
             (samples_hbm, params_hbm, c_vmem, noise_vmem, samples_vmem, params_vmem,
@@ -214,10 +238,8 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                     if has_g:
                         cond_all = cond_all + g_cond[:]
 
-                skips = jnp.zeros((B_PAD, S), jnp.float32)
-                for li in range(L):
+                def read_taps(li):
                     d = dils[li]
-                    size = buf_sizes[li]
                     win = (k - 1) * d
                     buf = bufs[li]                                 # (size, B_PAD, R)
                     taps = []
@@ -225,24 +247,85 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                         m = (k - 1 - j) * d
                         slot = jax.lax.rem(t + win - m, win)
                         taps.append(buf[pl.ds(slot, 1)][0])
-                    # overwrite the oldest slot with the current input
-                    buf[pl.ds(jax.lax.rem(t, win), 1)] = h[None].astype(buf.dtype)
-                    tap_cat = jnp.concatenate(
-                        [tp.astype(jnp.bfloat16) for tp in taps]
-                        + [h.astype(jnp.bfloat16)], axis=1)        # (B_PAD, k*R)
-                    z = jnp.dot(tap_cat, w_tap[li, :, :],
-                                preferred_element_type=jnp.float32) + b_tap[li, :]
-                    z = z + cond_all[:, li * G:(li + 1) * G]
-                    gated = jnp.tanh(z[:, :half]) * jax.nn.sigmoid(z[:, half:])
-                    y = jnp.dot(gated.astype(jnp.bfloat16), w_os[li, :, :],
-                                preferred_element_type=jnp.float32) + b_os[li, :]
-                    x_out, s = y[:, :R], y[:, R:]
-                    h = (x_out + h) * (sqrt_half if res_legacy else 1.0)
-                    skips = skips + s
-                    if legacy and li > 0:
-                        skips = skips * sqrt_half
-                    elif legacy and li == 0:
-                        pass  # first skip enters unscaled (reference wavenet.py:833)
+                    return taps
+
+                def write_tap(li, val):
+                    # overwrite the oldest slot with the layer's current input
+                    win = (k - 1) * dils[li]
+                    bufs[li][pl.ds(jax.lax.rem(t, win), 1)] = \
+                        val[None].astype(bufs[li].dtype)
+
+                def glu(z):
+                    return jnp.tanh(z[:, :half]) * jax.nn.sigmoid(z[:, half:])
+
+                skips = jnp.zeros((B_PAD, S), jnp.float32)
+                if not fused:
+                    for li in range(L):
+                        taps = read_taps(li)
+                        write_tap(li, h)
+                        tap_cat = jnp.concatenate(
+                            [tp.astype(jnp.bfloat16) for tp in taps]
+                            + [h.astype(jnp.bfloat16)], axis=1)    # (B_PAD, k*R)
+                        z = jnp.dot(tap_cat, w_tap[li, :, :],
+                                    preferred_element_type=jnp.float32) + b_tap[li, :]
+                        z = z + cond_all[:, li * G:(li + 1) * G]
+                        gated = glu(z)
+                        y = jnp.dot(gated.astype(jnp.bfloat16), w_os[li, :, :],
+                                    preferred_element_type=jnp.float32) + b_os[li, :]
+                        x_out, s = y[:, :R], y[:, R:]
+                        h = (x_out + h) * (sqh if res_legacy else 1.0)
+                        skips = skips + s
+                        if legacy and li > 0:
+                            skips = skips * sqh
+                        elif legacy and li == 0:
+                            pass  # first skip enters unscaled (reference wavenet.py:833)
+                else:
+                    # Fused critical path (see pack_params): the serial chain is
+                    # ONE matmul + GLU per layer — z_{l-1} @ w_fused[l] — while
+                    # the residual update, skip matmul, and h-carried gate term
+                    # run off the chain with a layer of slack each.
+                    past = (k - 1) * R
+                    consts = []
+                    for li in range(L):
+                        p = (b_tap[li, :] + b_fused[li, :]
+                             + cond_all[:, li * G:(li + 1) * G])
+                        if k > 1:
+                            tap_cat = jnp.concatenate(
+                                [tp.astype(jnp.bfloat16) for tp in read_taps(li)],
+                                axis=1)
+                            p = p + jnp.dot(tap_cat, w_tap[li, :, :][:past],
+                                            preferred_element_type=jnp.float32)
+                        consts.append(p)
+                    z = glu(jnp.dot(h.astype(jnp.bfloat16), w_tap[0, :, :][past:],
+                                    preferred_element_type=jnp.float32) + consts[0])
+                    h_prev = h
+                    hs = [h]
+                    for li in range(1, L):
+                        zb = z.astype(jnp.bfloat16)
+                        b_term = jnp.dot(zb, w_fused[li, :, :],
+                                         preferred_element_type=jnp.float32)
+                        a_term = jnp.dot(h_prev.astype(jnp.bfloat16),
+                                         w_tap[li, :, :][past:],
+                                         preferred_element_type=jnp.float32)
+                        if res_legacy:
+                            a_term = a_term * sqh
+                        y = jnp.dot(zb, w_os[li - 1, :, :],
+                                    preferred_element_type=jnp.float32) + b_os[li - 1, :]
+                        h_cur = (h_prev + y[:, :R]) * (sqh if res_legacy else 1.0)
+                        skips = skips + y[:, R:]
+                        if legacy and li - 1 > 0:
+                            skips = skips * sqh
+                        z = glu(b_term + a_term + consts[li])
+                        hs.append(h_cur)
+                        h_prev = h_cur
+                    zb = z.astype(jnp.bfloat16)
+                    y = jnp.dot(zb, w_os[L - 1, :, :],
+                                preferred_element_type=jnp.float32) + b_os[L - 1, :]
+                    skips = skips + y[:, R:]
+                    if legacy and L > 1:
+                        skips = skips * sqh
+                    for li in range(L):
+                        write_tap(li, hs[li])
 
                 o = jnp.maximum(skips, 0.0)
                 o = jnp.maximum(
@@ -382,7 +465,7 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),        # c stays in HBM
                   pl.BlockSpec(memory_space=pltpu.ANY)]        # noise stays in HBM
-                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 15,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
@@ -390,7 +473,8 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         interpret=interpret,
     )(c_in, n_in,
       weights['first_w'], weights['first_b'], weights['w_tap'], weights['b_tap'],
-      weights['w_os'], weights['b_os'], weights['w_cond'], weights['b_cond'],
+      weights['w_os'], weights['b_os'], weights['w_fused'], weights['b_fused'],
+      weights['w_cond'], weights['b_cond'],
       g_in, weights['w_s1'], weights['b_s1'], weights['w_s2'], weights['b_s2'])
 
     samples = outs[0] if isinstance(outs, (tuple, list)) else outs

@@ -33,10 +33,14 @@ def _setup(hp):
     return state, model, c, c_up
 
 
-@pytest.mark.parametrize('out_cfg', ['gaussian', 'mol'])
-def test_kernel_matches_scan(out_cfg):
+@pytest.mark.parametrize('out_cfg,fused', [('gaussian', False), ('mol', False),
+                                           ('gaussian', True), ('mol', True)])
+def test_kernel_matches_scan(out_cfg, fused):
+    """fused=True exercises the restructured critical path (wavenet_fused_ar):
+    same packed weights, algebraically identical step, one serial matmul/layer."""
     hp = default_hparams()
-    hp.parse(TINY + (',out_channels=2' if out_cfg == 'gaussian' else ',out_channels=30'))
+    hp.parse(TINY + (',out_channels=2' if out_cfg == 'gaussian' else ',out_channels=30')
+             + f',wavenet_fused_ar={fused}')
     assert wavenet_ar.supports(hp)
     state, model, c, c_up = _setup(hp)
 
