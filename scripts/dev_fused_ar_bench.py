@@ -35,7 +35,7 @@ def main():
                  input_lengths=np.asarray([hop], np.int32),
                  mel_conditions=np.zeros((1, 1, hp.num_mels), np.float32))
     state = wt.create_train_state(hp, jax.random.PRNGKey(0), batch)
-    weights = wavenet_ar.pack_params(state.params, hp)
+    weights = wavenet_ar.pack_params(state.params, hp_fused)  # superset: serves both paths
     c_up = jnp.asarray(rng.uniform(0, 1, (B, T, hp.cin_channels)), jnp.float32)
     noise = wavenet_ar.make_noise(hp, jax.random.PRNGKey(7), B, T)
 

@@ -52,7 +52,6 @@ def _glu(z):
 
 
 def build(variant):
-    n_w = L  # stacked weights refs
 
     def kernel(w_tap, w_os, w_fused, w_cur, w_out, w_skip, cond, out,
                prev_ref, *bufs):
@@ -106,7 +105,6 @@ def build(variant):
             z = _glu(jnp.dot(h0.astype(bf16), w_cur[0], preferred_element_type=f32)
                      + consts[0])
             h_prev = h0          # h_{l-1}
-            a_next = None        # A_{l+1} pipeline register
             skips = jnp.zeros((B, S), f32)
             h_regs = [h0]
             for li in range(1, L):

@@ -10,9 +10,14 @@ one TensorCore:
     one (B, 2*dilation_padded, R) array per layer, updated in place;
   - upsampled conditioning and pre-sampled distribution noise stream in from HBM in
     `CHUNK`-step slabs; generated samples stream back out the same way;
-  - each step: one merged conditioning matmul (B, cin)@(cin, L*G), then per layer one
-    (B, 3R)@(3R, G) tap matmul + GLU + one (B, G/2)@(G/2, R+S) out/skip matmul, then
-    the two-layer head and Gaussian/MoL sampling from precomputed noise.
+  - each step: one merged conditioning matmul (B, cin)@(cin, L*G), then the layer
+    stack, then the two-layer head and Gaussian/MoL sampling from precomputed noise.
+  - layer stack, default fused critical path (wavenet_fused_ar=True): layer l-1's
+    residual 1x1 is folded into layer l's current-tap conv at pack time
+    (w_fused = rho * W_out @ W_cur), so the serial per-sample chain is ONE
+    (B, G/2)@(G/2, G) matmul + GLU per layer; the residual update, skip matmul,
+    h-carried gate term, and past-tap matmuls execute off the chain. The plain
+    chain path (two serial matmuls per layer) is kept behind wavenet_fused_ar=False.
 
 Supported configs: scalar input (raw / mulaw), kernel_size arbitrary (k-1 taps),
 Gaussian (out_channels==2) or MoL (out_channels==3*nr) output, local conditioning
@@ -44,6 +49,8 @@ def supports(hp: Hparams) -> bool:
     """Whether this kernel covers the configuration."""
     if not (0 < hp.cin_channels <= LANE and hp.gate_channels % 2 == 0):
         return False
+    if hp.kernel_size < 2:
+        return False  # ring buffers are (k-1)*dilation slots; k=1 has none
     if hp.input_type in ('raw', 'mulaw'):
         return (hp.out_channels == 2 or hp.out_channels % 3 == 0) \
             and hp.out_channels <= LANE
@@ -112,19 +119,24 @@ def pack_params(params: Dict, hp: Hparams) -> Dict[str, jnp.ndarray]:
     #   h_l @ W_cur_l = rho*(h_{l-1} @ W_cur_l)            (off the chain)
     #                 + z_{l-1} @ [rho * W_out_{l-1} W_cur_l]   <- w_fused[l]
     #                 + rho * b_out_{l-1} @ W_cur_l             <- b_fused[l]
-    rho = float(np.sqrt(0.5)) if hp.residual_legacy else 1.0
-    past = (hp.kernel_size - 1) * hp.residual_channels
-    R = hp.residual_channels
-    w_fused = [jnp.zeros((hp.gate_channels // 2, hp.gate_channels), jnp.float32)]
-    b_fused = [jnp.zeros((hp.gate_channels,), jnp.float32)]
-    for i in range(1, L):
-        w_cur = w_tap[i][past:].astype(jnp.float32)             # (R, G)
-        w_out_prev = w_os[i - 1][:, :R].astype(jnp.float32)     # (G/2, R)
-        b_out_prev = b_os[i - 1][:R].astype(jnp.float32)
-        w_fused.append(rho * (w_out_prev @ w_cur))
-        b_fused.append(rho * (b_out_prev @ w_cur))
-    weights['w_fused'] = jnp.stack(w_fused).astype(jnp.bfloat16)  # (L, G/2, G)
-    weights['b_fused'] = jnp.stack(b_fused).astype(jnp.float32)   # (L, G)
+    if hp.wavenet_fused_ar:
+        rho = float(np.sqrt(0.5)) if hp.residual_legacy else 1.0
+        past = (hp.kernel_size - 1) * hp.residual_channels
+        R = hp.residual_channels
+        w_fused = [jnp.zeros((hp.gate_channels // 2, hp.gate_channels), jnp.float32)]
+        b_fused = [jnp.zeros((hp.gate_channels,), jnp.float32)]
+        for i in range(1, L):
+            w_cur = w_tap[i][past:].astype(jnp.float32)             # (R, G)
+            w_out_prev = w_os[i - 1][:, :R].astype(jnp.float32)     # (G/2, R)
+            b_out_prev = b_os[i - 1][:R].astype(jnp.float32)
+            w_fused.append(rho * (w_out_prev @ w_cur))
+            b_fused.append(rho * (b_out_prev @ w_cur))
+        weights['w_fused'] = jnp.stack(w_fused).astype(jnp.bfloat16)  # (L, G/2, G)
+        weights['b_fused'] = jnp.stack(b_fused).astype(jnp.float32)   # (L, G)
+    else:
+        # chain path never reads these; ship lane-aligned stubs, not ~MBs of VMEM
+        weights['w_fused'] = jnp.zeros((L, SUBLANE, LANE), jnp.bfloat16)
+        weights['b_fused'] = jnp.zeros((L, LANE), jnp.float32)
     # merged conditioning projection, input rows zero-padded to the lane width so
     # the padded c_t can be used without slicing: (128, L*G)
     wc = jnp.stack(w_c, axis=1).reshape(hp.cin_channels, -1)
@@ -412,6 +424,10 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     """
     B, T, cin = c_up.shape
     assert B <= B_MAX, f'kernel supports batch <= {B_MAX}'
+    if hp.wavenet_fused_ar:
+        want = (hp.layers, hp.gate_channels // 2, hp.gate_channels)
+        assert weights['w_fused'].shape == want, \
+            'weights were packed with wavenet_fused_ar=False; re-pack with the same hp'
     B_PAD = max(SUBLANE, _round_up(B, SUBLANE))
     T_pad = _round_up(T, CHUNK)
     R = hp.residual_channels

@@ -73,6 +73,8 @@ def test_supports_gates():
     assert hp4.quantize_channels == 2 ** 16
     hp4.out_channels = hp4.quantize_channels
     assert not wavenet_ar.supports(hp4)
+    # k=1 has no past taps: ring buffers would be 0-slot; scan path handles it
+    assert not wavenet_ar.supports(default_hparams().replace(kernel_size=1))
 
 
 def test_generate_dispatch_fallback():
@@ -118,10 +120,13 @@ def test_kernel_matches_scan_special_configs(variant):
     assert rel < 5e-2, f"{variant}: kernel/scan relative divergence {rel} (abs {diff})"
 
 
-def test_kernel_categorical_matches_scan():
-    """mulaw-quantize (categorical) through the kernel: teacher-forced cross-check."""
+@pytest.mark.parametrize('fused', [True, False])
+def test_kernel_categorical_matches_scan(fused):
+    """mulaw-quantize (categorical) through the kernel: teacher-forced cross-check.
+    Both layer-stack variants (fused critical path + plain chain) stay covered."""
     hp = default_hparams()
-    hp.parse(TINY + ",input_type='mulaw-quantize',quantize_channels=256,out_channels=256")
+    hp.parse(TINY + ",input_type='mulaw-quantize',quantize_channels=256,out_channels=256"
+             + f',wavenet_fused_ar={fused}')
     assert wavenet_ar.supports(hp)
     state, model, c, c_up = _setup_q(hp)
 
@@ -153,12 +158,14 @@ def _setup_q(hp):
     return state, model, c, c_up
 
 
-def test_kernel_global_conditioning_matches_scan():
+@pytest.mark.parametrize('fused', [True, False])
+def test_kernel_global_conditioning_matches_scan(fused):
     """Speaker-conditioned generation through the kernel: the merged (B, L*G)
     global bias (pack_global) must reproduce the scan path's per-layer conv1x1g adds
-    (reference wavenet.py:151-158)."""
+    (reference wavenet.py:151-158). Covered on both layer-stack variants."""
     hp = default_hparams()
-    hp.parse(TINY + ',out_channels=2,gin_channels=16,n_speakers=4')
+    hp.parse(TINY + ',out_channels=2,gin_channels=16,n_speakers=4'
+             + f',wavenet_fused_ar={fused}')
     assert wavenet_ar.supports(hp)
     B, Tc = 2, 8
     rng = np.random.default_rng(0)
