@@ -51,6 +51,13 @@ def _glu(z):
     return jnp.tanh(z[:, :HALF]) * _sigmoid(z[:, HALF:])
 
 
+def _glu_bf16(z):
+    # transcendentals in bf16 (half the VPU lanes-width cost); constants must be
+    # dtype-matched or Mosaic rejects the f32-const-into-bf16 broadcast
+    zb = z.astype(bf16)
+    return jnp.tanh(zb[:, :HALF]) * _sigmoid(zb[:, HALF:])
+
+
 def build(variant):
 
     def kernel(w_tap, w_os, w_fused, w_cur, w_out, w_skip, cond, out,
@@ -83,6 +90,8 @@ def build(variant):
             prev_ref[:] = h * jnp.asarray(1e-4, f32) + skips[:, :R] * jnp.asarray(1e-6, f32)
             return 0
 
+        glu = _glu_bf16 if variant == 'fused_bf16glu' else _glu
+
         def step_fused(t, _):
             # const_l: past taps for every layer, computable up front (off path)
             h0 = prev_ref[:]
@@ -102,7 +111,7 @@ def build(variant):
                               + cond[:, li * G:(li + 1) * G])
 
             # layer 0: ordinary (its gate matmul IS the path matmul)
-            z = _glu(jnp.dot(h0.astype(bf16), w_cur[0], preferred_element_type=f32)
+            z = glu(jnp.dot(h0.astype(bf16), w_cur[0], preferred_element_type=f32)
                      + consts[0])
             h_prev = h0          # h_{l-1}
             skips = jnp.zeros((B, S), f32)
@@ -118,7 +127,7 @@ def build(variant):
                 skips = skips + jnp.dot(zb, w_skip[li - 1], preferred_element_type=f32)
                 h_cur = h_prev + dh                     # h_l
                 gates = b_term + a_term + consts[li]
-                z = _glu(gates)
+                z = glu(gates)
                 h_prev = h_cur
                 h_regs.append(h_cur)
             zb = z.astype(bf16)
@@ -181,4 +190,5 @@ def _timed(fn):
 if __name__ == '__main__':
     base = bench('base', build('base'))
     fused = bench('fused', build('fused'))
-    print(f'speedup: {base / fused:.2f}x')
+    fbf = bench('fused_bf16glu', build('fused_bf16glu'))
+    print(f'fused speedup: {base / fused:.2f}x   bf16-glu speedup: {base / fbf:.2f}x')
