@@ -42,14 +42,19 @@ def main():
                          predict_linear=False, rngs={'dropout': jax.random.PRNGKey(1)})
         return out['mel_outputs']
 
-    fn = jax.jit(synth)
-    np.asarray(fn(variables, inputs, input_lengths))  # compile
-    best = float('inf')
-    for _ in range(3):
-        t0 = time.time()
-        np.asarray(fn(variables, inputs, input_lengths))
-        best = min(best, time.time() - t0)
-    steps = dec_frames // hp.outputs_per_step
+    def time_decode(f):
+        """Compile, then best-of-3 wall time with a host-fetch fence."""
+        np.asarray(f(variables, inputs, input_lengths))
+        best = float('inf')
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(f(variables, inputs, input_lengths))
+            best = min(best, time.time() - t0)
+        return best
+
+    # max_iters IS decoder steps (each step emits outputs_per_step frames)
+    steps = dec_frames
+    best = time_decode(jax.jit(synth))
     print(f'synthesis decode: {best*1e3:.1f} ms for {steps} decoder steps '
           f'({best*1e6/steps:.1f} us/step, batch {B})')
 
@@ -62,13 +67,8 @@ def main():
                           predict_linear=False, rngs={'dropout': jax.random.PRNGKey(1)})
         return out['mel_outputs']
 
-    fn0 = jax.jit(synth0)
-    np.asarray(fn0(variables, inputs, input_lengths))
-    best0 = float('inf')
-    for _ in range(3):
-        t0 = time.time()
-        np.asarray(fn0(variables, inputs, input_lengths))
-        best0 = min(best0, time.time() - t0)
+    fn = jax.jit(synth)  # keep the default-variant fn for the trace below
+    best0 = time_decode(jax.jit(synth0))
     print(f'dropout=0 decode:  {best0*1e3:.1f} ms ({best0*1e6/steps:.1f} us/step) '
           f'— delta vs default = per-step RNG cost')
 

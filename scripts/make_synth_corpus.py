@@ -13,10 +13,11 @@ Two modes:
         conditioning (it only needs c at character transitions).
 
   noise: each character maps to 90 ms of band-limited noise (center
-        300 Hz + 55 Hz per letter index, ~90 Hz band). Noise is sample-level
-        UNpredictable, so a WaveNet must read the mel conditioning to know the
-        band — this mode validates vocoder conditioning, which the tone mode
-        structurally cannot.
+        300 Hz + 55 Hz per letter index, ~90 Hz band — adjacent letters overlap
+        by ~35 Hz, so verify with spectral centroids, not peak-picking). Noise
+        is sample-level UNpredictable, so a WaveNet must read the mel
+        conditioning to know the band — this mode validates vocoder
+        conditioning, which the tone mode structurally cannot.
 
 A Tacotron trained on either must learn a monotonic character↔frame alignment
 and utterance-length stop tokens, making these fast hardware-validation corpora

@@ -426,8 +426,10 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     assert B <= B_MAX, f'kernel supports batch <= {B_MAX}'
     if hp.wavenet_fused_ar:
         want = (hp.layers, hp.gate_channels // 2, hp.gate_channels)
-        assert weights['w_fused'].shape == want, \
-            'weights were packed with wavenet_fused_ar=False; re-pack with the same hp'
+        assert weights['w_fused'].shape == want, (
+            f'w_fused shape {weights["w_fused"].shape} != {want}: weights were '
+            'packed with a different hp (wavenet_fused_ar off, or different '
+            'layers/gate_channels) — re-pack with the hp used for generation')
     B_PAD = max(SUBLANE, _round_up(B, SUBLANE))
     T_pad = _round_up(T, CHUNK)
     R = hp.residual_channels
