@@ -54,11 +54,24 @@ def supports(hp: Hparams) -> bool:
     if hp.input_type in ('raw', 'mulaw'):
         return (hp.out_channels == 2 or hp.out_channels % 3 == 0) \
             and hp.out_channels <= LANE
-    # mulaw-quantize: categorical over quantize_channels one-hot input; bounded so
-    # the (Q, R) input embedding and (S, Q) head stay VMEM-resident
+    # mulaw-quantize: categorical over quantize_channels one-hot input. Up to 1024
+    # classes the Gumbel noise is pre-sampled and streamed like the other modes;
+    # above that (up to the 16-bit default) the (Q, R) embedding and (S, Q) head
+    # are held in VMEM as bf16 and the Gumbel noise is generated IN-kernel
+    # (pre-sampling (T, B, 65536) floats would be terabytes) — see big_vocab paths.
     return (hp.input_type == 'mulaw-quantize'
             and hp.out_channels == hp.quantize_channels
-            and hp.out_channels <= 1024)
+            and hp.out_channels <= 65536)
+
+
+def is_big_vocab(hp: Hparams) -> bool:
+    """Categorical vocab too wide to stream pre-sampled noise / params."""
+    return hp.input_type == 'mulaw-quantize' and hp.out_channels > 1024
+
+
+def max_batch(hp: Hparams) -> int:
+    """Kernel batch tile: the big-vocab weights (2x16 MB bf16) cap it at 8."""
+    return SUBLANE if is_big_vocab(hp) else B_MAX
 
 
 from ...utils import round_up as _round_up  # noqa: E402
@@ -91,7 +104,10 @@ def pack_params(params: Dict, hp: Hparams) -> Dict[str, jnp.ndarray]:
     L = hp.layers
     weights = {}
     fc = params['first_conv']
-    weights['first_w'] = _effective_kernel(fc).astype(jnp.float32)  # (1, R) scalar in
+    # big-vocab categorical: the (Q, R) embedding and (S, Q) head are the VMEM
+    # budget — store them bf16 (16 MB each at Q=65536) instead of f32
+    emb_dt = jnp.bfloat16 if is_big_vocab(hp) else jnp.float32
+    weights['first_w'] = _effective_kernel(fc).astype(emb_dt)  # (1|Q, R) input proj
     weights['first_b'] = _bias(fc, hp.residual_channels).astype(jnp.float32)
 
     w_tap, b_tap, w_os, b_os, w_c, b_c = [], [], [], [], [], []
@@ -144,7 +160,7 @@ def pack_params(params: Dict, hp: Hparams) -> Dict[str, jnp.ndarray]:
     weights['b_cond'] = jnp.concatenate(b_c).astype(jnp.float32)  # (L*G,)
     weights['w_s1'] = _effective_kernel(params['skip_conv1']).astype(jnp.bfloat16)
     weights['b_s1'] = _bias(params['skip_conv1'], hp.skip_out_channels).astype(jnp.float32)
-    weights['w_s2'] = _effective_kernel(params['skip_conv2']).astype(jnp.float32)  # (S, out)
+    weights['w_s2'] = _effective_kernel(params['skip_conv2']).astype(emb_dt)  # (S, out)
     weights['b_s2'] = _bias(params['skip_conv2'], hp.out_channels).astype(jnp.float32)
     return weights
 
@@ -168,7 +184,8 @@ def _dilations(hp: Hparams):
     return [2 ** (i % lps) for i in range(hp.layers)]
 
 
-def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool):
+def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool,
+                 greedy: bool = False):
     L = hp.layers
     R = hp.residual_channels
     G = hp.gate_channels
@@ -192,13 +209,14 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
 
     chunk_cond = B_PAD <= 16  # slab (CHUNK, B_PAD, L*G) bf16 must fit in VMEM
     packed_noise = gaussian  # 1 noise value per (step, seq): pack into lanes
+    big_vocab = is_big_vocab(hp)
 
     fused = hp.wavenet_fused_ar
     sqh = sqrt_half  # alias for the step bodies
 
     def kernel(c_hbm, noise_hbm, first_w, first_b, w_tap, b_tap, w_os, b_os,
                w_fused, b_fused, w_cond, b_cond, g_cond, w_s1, b_s1, w_s2, b_s2,
-               *out_and_scratch):
+               seed, *out_and_scratch):
         if want_params:
             (samples_hbm, params_hbm, c_vmem, noise_vmem, samples_vmem, params_vmem,
              prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
@@ -210,10 +228,12 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
         for buf in bufs:
             buf[:] = jnp.zeros_like(buf)
         if categorical:
-            prev_ref[:] = jnp.broadcast_to(first_w[init_id, :] + first_b[:],
-                                           prev_ref.shape)
+            prev_ref[:] = jnp.broadcast_to(
+                first_w[init_id, :].astype(jnp.float32) + first_b[:], prev_ref.shape)
         else:
             prev_ref[:] = jnp.broadcast_to(first_b[:], prev_ref.shape)
+        if big_vocab and not greedy:
+            pltpu.prng_seed(seed[0])  # one stream for the whole call
 
         def chunk_body(ci, _):
             # synchronous slab DMA (0.2-0.5 MB per 128 steps; negligible vs compute)
@@ -221,10 +241,11 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                 c_hbm.at[pl.ds(ci * CHUNK, CHUNK)], c_vmem, copy_sem)
             cin_dma.start()
             cin_dma.wait()
-            n_dma = pltpu.make_async_copy(
-                noise_hbm.at[pl.ds(ci * CHUNK, CHUNK)], noise_vmem, copy_sem)
-            n_dma.start()
-            n_dma.wait()
+            if not big_vocab:  # big vocab: Gumbel comes from the in-kernel PRNG
+                n_dma = pltpu.make_async_copy(
+                    noise_hbm.at[pl.ds(ci * CHUNK, CHUNK)], noise_vmem, copy_sem)
+                n_dma.start()
+                n_dma.wait()
 
             if chunk_cond:
                 # conditioning projections for the whole slab in one MXU matmul,
@@ -343,10 +364,13 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                 o = jnp.maximum(
                     jnp.dot(o.astype(jnp.bfloat16), w_s1[:],
                             preferred_element_type=jnp.float32) + b_s1[:], 0.0)
-                params_t = jnp.dot(o, w_s2[:],
+                params_t = jnp.dot(o.astype(jnp.bfloat16) if big_vocab else o,
+                                   w_s2[:],
                                    preferred_element_type=jnp.float32) + b_s2[:]
 
-                if packed_noise:
+                if big_vocab:
+                    noise_t = None  # Gumbel generated below when sampling
+                elif packed_noise:
                     noise_t = noise_vmem[si, :][:, None]          # (LANE,1)→rows=seqs
                     noise_t = noise_t[:B_PAD, :]
                 else:
@@ -354,7 +378,19 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                 if categorical:
                     # Gumbel-max over the quantize classes; next input is the one-hot
                     # pushed through the first conv (one (B,Q)@(Q,R) matmul)
-                    scores = params_t + noise_t[:, :out_ch]
+                    if not big_vocab:
+                        scores = params_t + noise_t[:, :out_ch]
+                    elif greedy:
+                        scores = params_t  # deterministic argmax (parity testing)
+                    else:
+                        # in-kernel Gumbel: uniform via the exponent-patch trick
+                        bits = pltpu.bitcast(
+                            pltpu.prng_random_bits((B_PAD, out_ch)), jnp.uint32)
+                        fb = (jax.lax.shift_right_logical(bits, jnp.uint32(9))
+                              | jnp.uint32(0x3F800000))
+                        u = pltpu.bitcast(fb, jnp.float32) - 1.0   # [0, 1)
+                        eps = jnp.float32(1e-9)
+                        scores = params_t - jnp.log(-jnp.log(u + eps) + eps)
                     smax = jnp.max(scores, axis=1, keepdims=True)
                     onehot = (scores >= smax).astype(jnp.float32)
                     onehot = onehot / jnp.sum(onehot, axis=1, keepdims=True)
@@ -404,10 +440,11 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
     return kernel, buf_sizes, nr
 
 
-@partial(jax.jit, static_argnames=('hp', 'interpret', 'return_params'))
+@partial(jax.jit, static_argnames=('hp', 'interpret', 'return_params', 'greedy'))
 def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
                 noise: jnp.ndarray, hp: Hparams, g_cond: Optional[jnp.ndarray] = None,
-                interpret: bool = False, return_params: bool = True
+                interpret: bool = False, return_params: bool = True,
+                seed: Optional[jnp.ndarray] = None, greedy: bool = False
                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the AR kernel.
 
@@ -416,14 +453,23 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         c_up: (B, T, cin) upsampled conditioning (already [0,1]-normalized).
         noise: (B, T, nr+1) pre-sampled noise: column 0 is the Gaussian eps /
             logistic noise, columns 1..nr are MoL Gumbel noise (unused for Gaussian).
+            Ignored for big-vocab categorical (the kernel generates its own Gumbel).
         g_cond: optional (B, L*G) merged global-conditioning bias (pack_global).
         return_params: also stream the distribution params back (eval/debug). Off by
             default for synthesis: the lane-padded params output costs LANE/out_ch
-            (64x for Gaussian) extra HBM and DMA on long audio.
+            (64x for Gaussian) extra HBM and DMA on long audio. Unsupported for
+            big-vocab categorical (a (CHUNK, B, 65536) slab would not fit VMEM).
+        seed: (1,) int32 PRNG seed for the in-kernel Gumbel (big vocab only).
+        greedy: big-vocab categorical only — argmax without Gumbel noise
+            (deterministic; used by the parity tests).
     Returns: (audio (B, T), params (B, T, out_channels) or None).
     """
     B, T, cin = c_up.shape
-    assert B <= B_MAX, f'kernel supports batch <= {B_MAX}'
+    big_vocab = is_big_vocab(hp)
+    assert B <= max_batch(hp), f'kernel supports batch <= {max_batch(hp)} here'
+    if big_vocab:
+        assert not return_params, \
+            'big-vocab categorical cannot stream params; use the scan path for eval'
     if hp.wavenet_fused_ar:
         want = (hp.layers, hp.gate_channels // 2, hp.gate_channels)
         assert weights['w_fused'].shape == want, (
@@ -449,13 +495,17 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         # single noise value per (step, seq): pack sequences into lanes
         n_in = jnp.zeros((T_pad, LANE), jnp.float32)
         n_in = n_in.at[:T, :B].set(noise[:, :, 0].T)
+    elif big_vocab:
+        n_in = jnp.zeros((T_pad, LANE), jnp.float32)   # unused: in-kernel PRNG
     else:
         n_in = jnp.zeros((T_pad, B_PAD, noise_lanes), jnp.float32)
         n_in = n_in.at[:T, :B, :noise.shape[-1]].set(jnp.transpose(noise, (1, 0, 2)))
 
-    kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD, return_params, has_g)
+    kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD, return_params, has_g,
+                                         greedy=greedy)
 
-    noise_slab = (pltpu.VMEM((CHUNK, LANE), jnp.float32) if gaussian
+    noise_slab = (pltpu.VMEM((CHUNK, LANE), jnp.float32)
+                  if (gaussian or is_big_vocab(hp))
                   else pltpu.VMEM((CHUNK, B_PAD, noise_lanes), jnp.float32))
     scratch = [
         pltpu.VMEM((CHUNK, B_PAD, LANE), jnp.float32),         # c slab
@@ -483,7 +533,8 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         out_shape=tuple(out_shape),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),        # c stays in HBM
                   pl.BlockSpec(memory_space=pltpu.ANY)]        # noise stays in HBM
-                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 15,
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 15
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],    # PRNG seed
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
@@ -493,7 +544,8 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
       weights['first_w'], weights['first_b'], weights['w_tap'], weights['b_tap'],
       weights['w_os'], weights['b_os'], weights['w_fused'], weights['b_fused'],
       weights['w_cond'], weights['b_cond'],
-      g_in, weights['w_s1'], weights['b_s1'], weights['w_s2'], weights['b_s2'])
+      g_in, weights['w_s1'], weights['b_s1'], weights['w_s2'], weights['b_s2'],
+      seed if seed is not None else jnp.zeros((1,), jnp.int32))
 
     samples = outs[0] if isinstance(outs, (tuple, list)) else outs
     audio = samples[:T, :B].T
@@ -507,6 +559,9 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
 def make_noise(hp: Hparams, rng: jax.Array, B: int, T: int) -> jnp.ndarray:
     """Pre-sample distribution noise in the layout generate_ar expects."""
     if hp.input_type == 'mulaw-quantize':
+        if is_big_vocab(hp):
+            # Gumbel is generated in-kernel (pass a seed to generate_ar instead)
+            return jnp.zeros((B, T, 1), jnp.float32)
         u = jax.random.uniform(rng, (B, T, hp.out_channels),
                                minval=1e-9, maxval=1.0 - 1e-9)
         return -jnp.log(-jnp.log(u))  # Gumbel per class

@@ -129,7 +129,10 @@ def _fast_generate_fn(hp: Hparams, dtype, interpret: bool, return_params: bool,
     def fn(params, c, g, rng):
         c_up = model.apply({'params': params}, c,
                            method=WaveNet.upsample_conditioning)
-        noise = wavenet_ar.make_noise(hp, rng, c.shape[0], c_up.shape[1])
+        k_noise, k_seed = jax.random.split(rng)
+        noise = wavenet_ar.make_noise(hp, k_noise, c.shape[0], c_up.shape[1])
+        seed = jax.random.randint(k_seed, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)  # in-kernel PRNG (big vocab)
         weights = wavenet_ar.pack_params(params, hp)
         g_cond = None
         if with_g:
@@ -138,7 +141,7 @@ def _fast_generate_fn(hp: Hparams, dtype, interpret: bool, return_params: bool,
             g_cond = wavenet_ar.pack_global(params, hp, g_emb)
         return wavenet_ar.generate_ar(weights, c_up, noise, hp, g_cond=g_cond,
                                       interpret=interpret,
-                                      return_params=return_params)
+                                      return_params=return_params, seed=seed)
     return fn
 
 
@@ -172,12 +175,15 @@ def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     if use_pallas is None:
         use_pallas = (on_tpu and targets is None and c is not None
-                      and wavenet_ar.supports(hp))
+                      and wavenet_ar.supports(hp)
+                      # big-vocab categorical can't stream params back — eval
+                      # paths that need them fall back to the scan
+                      and not (return_params and wavenet_ar.is_big_vocab(hp)))
     if use_pallas:
         fn = _fast_generate_fn(hp, dtype, not on_tpu, return_params,
                                g is not None and hp.gin_channels > 0)
         B = c.shape[0]
-        bm = wavenet_ar.B_MAX
+        bm = wavenet_ar.max_batch(hp)
         if B <= bm:
             audio, dist_params = fn(params, c, g, rng)
         else:
@@ -221,7 +227,8 @@ def generate_data_parallel(params, hp: Hparams, rng: jax.Array, c: jnp.ndarray,
     n_data = mesh.shape[mesh_lib.DATA_AXIS]
     B = c.shape[0]
     assert B % n_data == 0, f'batch {B} not divisible by data axis {n_data}'
-    assert wavenet_ar.supports(hp) and B // n_data <= wavenet_ar.B_MAX
+    assert (wavenet_ar.supports(hp) and not wavenet_ar.is_big_vocab(hp)
+            and B // n_data <= wavenet_ar.B_MAX)
     model = WaveNet(hp)
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
 
