@@ -238,7 +238,6 @@ class Hparams:
     decoder_scan_unroll: int = 4      # steps unrolled per decoder scan iteration (7% faster train step)
     decoder_chunk_size: int = 64      # synthesis early-exit granularity (decoder steps per while_loop chunk)
     fused_decoder: bool = True        # custom-VJP decoder scan for train/eval/GTA (ops/fused_decoder.py)
-    pallas_decoder: bool = False      # VMEM-resident Pallas decoder kernels on TPU (ops/pallas/taco_decoder.py)
     wavenet_fused_ar: bool = True     # AR kernel: fold residual 1x1s into next layer's gates (1 serial matmul/layer)
     pad_text_multiple: int = 16       # round text length up: bounds XLA shape count
     pad_mel_multiple: int = 64        # round mel length up: bounds XLA shape count

@@ -210,16 +210,14 @@ class Tacotron(nn.Module):
                        unroll=hp.decoder_scan_unroll)
         cell = scan(hp, deterministic, not is_synthesis, self.dtype, name='decoder')
 
-        use_fused = (not is_synthesis and hp.fused_decoder
-                     and len(tuple(hp.prenet_layers)) == 2
-                     and hp.decoder_layers == 2
+        from ...ops import fused_decoder as fd
+        use_fused = (not is_synthesis and hp.fused_decoder and fd.supports(hp)
                      and not self.is_initializing())
         if use_fused:
             # custom-VJP fused decoder scan: same math, hand-written backward that
             # defers the big LSTM weight-grad matmuls out of the reverse scan
             # (ops/fused_decoder.py). Params are created by the nn.scan path at
             # init and read back here, so checkpoints are layout-identical.
-            from ...ops import fused_decoder as fd
             dec_params = self.scope.get_variable('params', 'decoder')
             cfg = fd.config_from_hp(hp, self.dtype, deterministic)
             keep = 1.0 - hp.tacotron_dropout_rate

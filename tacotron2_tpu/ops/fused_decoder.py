@@ -35,7 +35,6 @@ Scope: teacher-available modes (train / eval / GTA) with 2 prenet layers and
 the nn.scan path otherwise and for synthesis (which uses the early-exit while_loop).
 """
 
-import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -63,17 +62,16 @@ class DecoderConfig:
     stop_at_any: bool
     unroll: int = 1          # scan unroll (amortizes per-iteration overhead)
     dtype: Any = jnp.float32
-    backend: str = 'xla'     # 'xla' (lax.scan) or 'pallas' (VMEM-resident kernels)
 
 
 def supports(hp) -> bool:
-    """Fused path covers the reference's fixed decoder architecture."""
-    return (len(tuple(hp.prenet_layers)) == 2 and hp.decoder_layers == 2
-            and not hp.smoothing or True)  # smoothing handled via the vjp stage
+    """Fused path covers the reference's fixed decoder architecture
+    (2 prenet layers + 2 decoder LSTMs; smoothing is handled via the vjp stage)."""
+    return len(tuple(hp.prenet_layers)) == 2 and hp.decoder_layers == 2
 
 
 def config_from_hp(hp, dtype, deterministic: bool) -> DecoderConfig:
-    cfg = DecoderConfig(
+    return DecoderConfig(
         num_mels=hp.num_mels, r=hp.outputs_per_step,
         prenet1=hp.prenet_layers[0], prenet2=hp.prenet_layers[1],
         units=hp.decoder_lstm_units, attention_dim=hp.attention_dim,
@@ -82,12 +80,6 @@ def config_from_hp(hp, dtype, deterministic: bool) -> DecoderConfig:
         cumulate=hp.cumulative_weights, smoothing=hp.smoothing,
         zoneout=hp.tacotron_zoneout_rate, deterministic=deterministic,
         stop_at_any=hp.stop_at_any, unroll=hp.decoder_scan_unroll, dtype=dtype)
-    if (getattr(hp, 'pallas_decoder', False) and dtype == jnp.bfloat16
-            and jax.default_backend() == 'tpu'):
-        from .pallas import taco_decoder
-        if taco_decoder.supports(cfg):
-            cfg = dataclasses.replace(cfg, backend='pallas')
-    return cfg
 
 
 def _weights(params: Dict, cfg: DecoderConfig) -> Dict[str, jnp.ndarray]:
@@ -257,26 +249,12 @@ def decoder_scan(cfg: DecoderConfig, params, keys, values, mask,
             keep-gates (train zoneout), cfg.dtype.
     Returns: (frames (T,B,M*r) f32, stops (T,B,r) f32, aligns (T,B,T_in) f32).
     """
-    if cfg.backend == 'pallas':
-        from .pallas import taco_decoder
-        W = _weights(params, cfg)
-        out, _ = taco_decoder.forward_pallas(cfg, W, keys, values, mask,
-                                             teacher, use_teacher, m1, m2, zo)
-        return out
     out, _ = _forward(cfg, params, keys, values, mask, teacher, use_teacher,
                       m1, m2, zo)
     return out
 
 
 def _fwd_rule(cfg, params, keys, values, mask, teacher, use_teacher, m1, m2, zo):
-    if cfg.backend == 'pallas':
-        from .pallas import taco_decoder
-        W = _weights(params, cfg)
-        out, pres = taco_decoder.forward_pallas(cfg, W, keys, values, mask,
-                                                teacher, use_teacher, m1, m2, zo)
-        res = (params, keys, values, mask, teacher, use_teacher, m1, m2, zo,
-               None, None, pres)
-        return out, res
     out, residuals = _forward(cfg, params, keys, values, mask, teacher,
                               use_teacher, m1, m2, zo)
     frames, stops, aligns = out
@@ -290,110 +268,7 @@ def _shift1(x, init_val=0.0):
     return jnp.concatenate([jnp.full_like(x[:1], init_val), x[:-1]], axis=0)
 
 
-def _bwd_rule_pallas(cfg, res, g):
-    """Backward for the Pallas backend: the reverse scan runs on-chip
-    (taco_decoder.backward_pallas); the big weight gradients are the same
-    deferred dense matmuls as the XLA path, computed here over the PADDED slab
-    arrays (pad steps/rows carry zero cotangents, so they contribute zeros)."""
-    from .pallas import taco_decoder
-
-    (params, keys, values, mask, teacher, use_teacher, m1, m2, zo,
-     _, _, pres) = res
-    g_frames, g_stops, g_aligns = g
-    W = _weights(params, cfg)
-    dt = cfg.dtype
-    f32 = jnp.float32
-    T, B = teacher.shape[0], teacher.shape[1]
-    T_in = keys.shape[1]
-    M, r = cfg.num_mels, cfg.r
-    MR = M * r
-    U = cfg.units
-    E = values.shape[-1]
-    M_pad = pres['teach_in'].shape[-1]
-
-    (dz1s, dz2s, dpqs, dp1pres, dp2pres, dfs_s, dteach_pad,
-     dkeys_pad, dloc_k, dloc_b, dl_k, dva, dba) = taco_decoder.backward_pallas(
-        cfg, W, pres, g_frames, g_stops, g_aligns)
-
-    # ---- deferred weight gradients (dz cast to the compute dtype so the MXU
-    # runs these as bf16 matmuls with f32 accumulation) ----
-    ein = partial(jnp.einsum, preferred_element_type=f32)
-    dz1_dt = dz1s.astype(dt)
-    dz2_dt = dz2s.astype(dt)
-
-    p2s = pres['r2'] * pres['m2_in']
-    ctx_prevs = _shift1(pres['ctx'])
-    h1_prevs = _shift1(pres['h1p'])
-    h2_prevs = _shift1(pres['h2p'])
-    in1 = jnp.concatenate([p2s, ctx_prevs, h1_prevs], axis=-1)
-    in2 = jnp.concatenate([pres['x1'], h2_prevs], axis=-1)
-    dW_g1 = ein('tbi,tbo->io', in1, dz1_dt)
-    db_g1 = dz1s.sum((0, 1))
-    dW_g2 = ein('tbi,tbo->io', in2, dz2_dt)
-    db_g2 = dz2s.sum((0, 1))
-
-    proj_ins = jnp.concatenate([pres['x2'], pres['ctx']], axis=-1)
-    dW_fs = ein('tbi,tbo->io', proj_ins, dfs_s.astype(dt))   # (U+E, FS_pad)
-    dW_f, dW_s = dW_fs[:, :MR], dW_fs[:, MR:MR + r]
-    db_f = dfs_s[..., :MR].sum((0, 1))
-    db_s = dfs_s[..., MR:MR + r].sum((0, 1))
-
-    dW_q = ein('tbi,tbo->io', pres['x2'], dpqs)
-
-    prev_frames = _shift1(pres['fs'][:, :, MR - M:MR]).astype(dt)
-    prev_frames = jnp.pad(prev_frames, ((0, 0), (0, 0), (0, M_pad - M)))
-    dec_ins = jnp.where(pres['use_in'][:, None, None] > 0,
-                        pres['teach_in'], prev_frames)
-    dW_p1 = ein('tbi,tbo->io', dec_ins, dp1pres)[:M]
-    db_p1 = dp1pres.astype(f32).sum((0, 1))
-    p1s = pres['r1'] * pres['m1_in']
-    dW_p2 = ein('tbi,tbo->io', p1s, dp2pres)
-    db_p2 = dp2pres.astype(f32).sum((0, 1))
-
-    # dvalues: rebuild each step's total context gradient exactly like the
-    # kernel consumed it (projection slice + next step's din1 slice)
-    fs_kT = jnp.concatenate([W['f_k'], W['s_k']], axis=1).T   # (MR+r, U+E) dt
-    dfs_real = dfs_s[..., :MR + r].astype(dt)
-    dctx_proj = (dfs_real @ fs_kT)[:, :, U:].astype(f32)
-    din1_ctx = (dz1_dt @ W['g1_k'].T)[:, :, cfg.prenet2:cfg.prenet2 + E] \
-        .astype(f32)
-    dctx_from_next = jnp.concatenate(
-        [din1_ctx[1:], jnp.zeros_like(din1_ctx[:1])], axis=0)
-    dctx_total_s = dctx_proj + dctx_from_next
-    dvalues = ein('tbs,tbm->bsm', pres['al'].astype(dt),
-                  dctx_total_s.astype(dt))[:B, :T_in]
-
-    dparams = {
-        'prenet': {'dense_1': {'kernel': dW_p1, 'bias': db_p1},
-                   'dense_2': {'kernel': dW_p2, 'bias': db_p2}},
-        'lstm_1': {'gates': {'kernel': dW_g1, 'bias': db_g1}},
-        'lstm_2': {'gates': {'kernel': dW_g2, 'bias': db_g2}},
-        'attention': {
-            'query_layer': {'kernel': dW_q},
-            'location_convolution': {'kernel': dloc_k, 'bias': dloc_b[0]},
-            'location_layer': {'kernel': dl_k},
-            'attention_variable_projection': dva,
-            'attention_bias': dba[0],
-        },
-        'frame_projection': {'kernel': dW_f, 'bias': db_f},
-        'stop_projection': {'kernel': dW_s, 'bias': db_s},
-    }
-    dparams = jax.tree_util.tree_map(
-        lambda gv, pv: gv.astype(pv.dtype), dparams,
-        {k: params[k] for k in dparams})
-
-    dkeys = dkeys_pad[:B, :T_in].astype(keys.dtype)
-    dteacher = dteach_pad[:T, :B, :M]
-    dmask = None if mask is None else jnp.zeros_like(mask)
-    dzo = None if zo is None else tuple(jnp.zeros_like(a) for a in zo)
-    return (dparams, dkeys, dvalues.astype(values.dtype), dmask, dteacher,
-            jnp.zeros_like(use_teacher), jnp.zeros_like(m1),
-            jnp.zeros_like(m2), dzo)
-
-
 def _bwd_rule(cfg, res, g):
-    if cfg.backend == 'pallas':
-        return _bwd_rule_pallas(cfg, res, g)
     (params, keys, values, mask, teacher, use_teacher, m1, m2, zo,
      frames, aligns, residuals) = res
     g_frames, g_stops, g_aligns = g
