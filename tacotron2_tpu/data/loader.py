@@ -68,9 +68,7 @@ class TacotronDataset:
     def __len__(self):
         return len(self._train_meta)
 
-    def _load_example(self, meta: Sequence[str]):
-        text = meta[5]
-        input_data = np.asarray(text_to_sequence(text, self._cleaner_names), np.int32)
+    def _load_example(self, meta: Sequence[str], input_data: np.ndarray):
         mel = np.load(os.path.join(self._mel_dir, meta[1]))
         token_target = np.zeros(len(mel) - 1, np.float32)
         linear = (np.load(os.path.join(self._linear_dir, meta[2]))
@@ -149,8 +147,10 @@ class TacotronDataset:
         else:
             lo, hi = 0, len(bidx)
 
-        # only this host's rows touch the filesystem
-        batch = [self._load_example(m) for m in metas[lo:hi]]
+        # only this host's rows touch the filesystem (sequences reused from the
+        # shape pass above — each text is tokenized exactly once per batch)
+        batch = [self._load_example(m, s)
+                 for m, s in zip(metas[lo:hi], seqs[lo:hi])]
         inputs = np.stack([np.pad(x[0], (0, in_max - len(x[0])),
                                   constant_values=self._pad) for x in batch])
         mel_targets = np.stack([np.pad(x[1], [(0, mel_max - len(x[1])), (0, 0)],

@@ -99,6 +99,10 @@ class WaveNetDataset:
             return cand
         if os.path.isfile(path):
             return path
+        # base_dir layout wins over the metadata-dir fallback when both exist
+        cand = os.path.join(self._base_dir, subdir, path)
+        if os.path.isfile(cand):
+            return cand
         cand = os.path.join(self._meta_dir, subdir, path)
         if os.path.isfile(cand):
             return cand

@@ -127,9 +127,20 @@ def eval_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array,
     return metrics
 
 
-def make_jitted_steps(hp: Hparams, mesh, dtype=jnp.float32):
+def resolve_compute_dtype(hp: Hparams):
+    """hp.compute_dtype, applied on accelerators only (CPU tests/smokes stay f32:
+    emulated bf16 is slower and buys nothing there)."""
+    on_accel = jax.devices()[0].platform in ('tpu', 'axon', 'gpu')
+    return (jnp.bfloat16 if (on_accel and hp.compute_dtype == 'bfloat16')
+            else jnp.float32)
+
+
+def make_jitted_steps(hp: Hparams, mesh, dtype=None):
     """Compile train/eval steps with explicit shardings over the mesh: state
-    replicated, batch sharded on the data axis."""
+    replicated, batch sharded on the data axis. dtype=None resolves
+    hp.compute_dtype (bf16 on TPU — the production training precision)."""
+    if dtype is None:
+        dtype = resolve_compute_dtype(hp)
     hp.freeze()
     rep = mesh_lib.replicated(mesh)
     data = mesh_lib.batch_sharding(mesh)

@@ -74,24 +74,45 @@ def save_log(step, batch, m, hp, plot_dir, wav_dir):
                   hp, title=f'{time_string()}, step={step}')
 
 
-def eval_step(state, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
+def eval_step(ema_params, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
     """Full autoregressive generation on one utterance (reference train.py:89-126)."""
+    from ..ops.mulaw import is_mulaw_quantize
+    from ..ops.pallas import wavenet_ar
+
     c = batch.get('mel_conditions')
     g = batch.get('speaker_ids')
     L = int(batch['input_lengths'][0])
     c1 = jnp.asarray(c[:1]) if c is not None else None
     g1 = jnp.asarray(g[:1]) if g is not None else None
     start = time.time()
-    out = wt.generate(state.ema_params, hp, jax.random.PRNGKey(step), c1, g1,
-                      synthesis_length=None if c1 is not None else L,
-                      return_params=hp.wavenet_natural_eval)
+    # big-vocab categorical: the (1, T, Q) params array cannot leave the chip at
+    # Q=65536 — the kernel scores its own params against ground truth in place
+    # and streams back the per-step NLL instead (no scan fallback)
+    use_kernel_nll = (hp.wavenet_natural_eval and is_mulaw_quantize(hp.input_type)
+                      and c1 is not None and wavenet_ar.is_big_vocab(hp)
+                      and wavenet_ar.supports(hp))
+    if use_kernel_nll:
+        out = wt.generate(ema_params, hp, jax.random.PRNGKey(step), c1, g1,
+                          return_params=False,
+                          y_eval=jnp.asarray(batch['audio'][:1]))
+    else:
+        out = wt.generate(ema_params, hp, jax.random.PRNGKey(step), c1, g1,
+                          synthesis_length=None if c1 is not None else L,
+                          return_params=hp.wavenet_natural_eval)
     audio_out = np.asarray(out['audio'][0])
     elapsed = time.time() - start
     frames_sec = len(audio_out) / max(elapsed, 1e-6)
     log('Eval generation: {} samples in {:.3f} sec ({:.1f} samples/sec)'.format(
         len(audio_out), elapsed, frames_sec))
 
-    if hp.wavenet_natural_eval:
+    if hp.wavenet_natural_eval and 'nll' in out:
+        # in-kernel scoring (big vocab): same masked mean the host path computes
+        m = (jnp.arange(out['nll'].shape[1])[None, :] < L).astype(jnp.float32)
+        nat = jnp.sum(out['nll'] * m) / jnp.maximum(jnp.sum(m), 1.0)
+        log('Eval (natural) loss: {:.5f} (in-kernel)'.format(float(nat)))
+        if writer is not None:
+            writer.add_scalar('eval/natural_loss', float(nat), step)
+    elif hp.wavenet_natural_eval:
         # score the autoregressive prediction against ground truth, UNSHIFTED —
         # incremental y_hat[t] predicts y[t] (reference wavenet.py:497-506)
         from ..models.wavenet import distributions as dist_mod
@@ -142,6 +163,20 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
     np.random.seed(hp.wavenet_random_seed)
     dataset = WaveNetDataset(input_path, hp, base_dir=args.base_dir)
     log('{} train examples, {} test steps'.format(len(dataset), dataset.test_steps))
+
+    # Short-run EMA guard: with decay d over N steps the EMA shadow still holds
+    # d**N of the random init (22% at d=0.9999, N=15k), so EMA-weight synthesis
+    # (the synthesizer and AR eval path) is noise even when the raw params vocode
+    # fine. The reference's 0.9999 default is sized for its 500k-step budget
+    # (reference train.py:115, hparams.py:321).
+    ema_horizon = args.wavenet_train_steps * (1.0 - hp.wavenet_ema_decay)
+    if ema_horizon < 5.0:
+        suggested = max(0.5, 1.0 - 10.0 / max(args.wavenet_train_steps, 1))
+        log('WARNING: wavenet_ema_decay={} leaves the EMA shadow init-dominated '
+            'after {} steps (init fraction ~{:.0%}). AR eval / synthesis uses EMA '
+            'weights; for short runs pass wavenet_ema_decay<={:.4g}.'.format(
+                hp.wavenet_ema_decay, args.wavenet_train_steps,
+                hp.wavenet_ema_decay ** max(args.wavenet_train_steps, 1), suggested))
 
     mesh = mesh_lib.make_mesh(hp)
     example = next(dataset.train_batches(seed=hp.wavenet_data_random_state,
@@ -261,7 +296,9 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
                     # different utterances
                     tb = test_batches[(step // args.eval_interval)
                                       % len(test_batches)]
-                    eval_step(jax.device_get(state), tb, hp,
+                    # fetch only the EMA params — the full state (raw params +
+                    # Adam moments) is ~3x the traffic and unused by eval_step
+                    eval_step(jax.device_get(state.ema_params), tb, hp,
                               eval_plot_dir, eval_wav_dir, step, writer)
 
             if (getattr(args, 'embedding_interval', 0) and hp.gin_channels > 0 and
@@ -279,9 +316,10 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
             if (step % args.checkpoint_interval == 0 or
                     step == args.wavenet_train_steps):
                 log('\nSaving checkpoint at step {}'.format(step))
-                if lead:
-                    host_state = jax.device_get(state)
-                    ckpt.save(step, host_state)
+                # collective: every process calls save(); orbax writes from the
+                # primary host only (see tacotron_train.save_checkpoint_artifacts)
+                host_state = jax.device_get(state)
+                ckpt.save(step, host_state)
                 m = jax.device_get(eval_tf_step(state, mesh_lib.shard_batch(batch, mesh)))
                 if lead:
                     save_log(step, batch, m, hp, plot_dir, wav_dir)

@@ -105,12 +105,14 @@ def train_step(state: WaveNetTrainState, batch: Dict[str, Any], rng: jax.Array,
 
 def eval_teacher_forced_step(state: WaveNetTrainState, batch: Dict[str, Any],
                              hp: Hparams, dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
-    """Teacher-forced eval loss using EMA weights."""
+    """Teacher-forced eval loss on the raw (live) weights — the reference's eval
+    model shares variables with the train graph (wavenet_vocoder/train.py:168-177);
+    EMA weights are used only for AR generation/synthesis."""
     model = WaveNet(hp, dtype=dtype)
     mask = _batch_mask(batch)
     y = batch['audio']
     x = model.encode_input(y)
-    y_hat = model.apply({'params': state.ema_params}, x, batch.get('mel_conditions'),
+    y_hat = model.apply({'params': state.params}, x, batch.get('mel_conditions'),
                         batch.get('speaker_ids'), train=False)
     return dict(loss=compute_wavenet_loss(hp, y_hat, y, mask), y_hat=y_hat)
 
@@ -120,13 +122,13 @@ from functools import lru_cache
 
 @lru_cache(maxsize=8)
 def _fast_generate_fn(hp: Hparams, dtype, interpret: bool, return_params: bool,
-                      with_g: bool):
+                      with_g: bool, with_nll: bool = False):
     """Jitted pallas-path generator; cached so repeat calls don't retrace."""
     from ..ops.pallas import wavenet_ar
     model = WaveNet(hp, dtype=dtype)
 
     @jax.jit
-    def fn(params, c, g, rng):
+    def fn(params, c, g, rng, y=None):
         c_up = model.apply({'params': params}, c,
                            method=WaveNet.upsample_conditioning)
         k_noise, k_seed = jax.random.split(rng)
@@ -139,9 +141,17 @@ def _fast_generate_fn(hp: Hparams, dtype, interpret: bool, return_params: bool,
             g_emb = model.apply({'params': params}, g,
                                 method=WaveNet._embed_global)
             g_cond = wavenet_ar.pack_global(params, hp, g_emb)
+        y_eval = None
+        if with_nll:
+            # pad/trim ground truth to the generated length for in-kernel scoring
+            T = c_up.shape[1]
+            y_eval = jnp.zeros((c.shape[0], T), jnp.int32)
+            y_eval = y_eval.at[:, :min(T, y.shape[1])].set(
+                y[:, :T].astype(jnp.int32))
         return wavenet_ar.generate_ar(weights, c_up, noise, hp, g_cond=g_cond,
                                       interpret=interpret,
-                                      return_params=return_params, seed=seed)
+                                      return_params=return_params, seed=seed,
+                                      y_eval=y_eval)
     return fn
 
 
@@ -161,23 +171,38 @@ def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
              g: Optional[jnp.ndarray] = None, synthesis_length: Optional[int] = None,
              targets: Optional[jnp.ndarray] = None, dtype=jnp.float32,
              use_pallas: Optional[bool] = None,
-             return_params: bool = True) -> Dict[str, jnp.ndarray]:
+             return_params: bool = True,
+             y_eval: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
     """Autoregressive generation.
 
     Dispatches to the on-chip Pallas AR kernel when the config supports it (scalar
     or small-vocab categorical input, local conditioning, free-running); otherwise
     the lax.scan path. Batches larger than the kernel's B_MAX are tiled over
     B_MAX-sized kernel launches (padding the last tile) instead of silently losing
-    the kernel speedup. Set use_pallas=False to force the scan path."""
+    the kernel speedup. Set use_pallas=False to force the scan path.
+
+    y_eval (categorical only): (B, T) int32 ground-truth ids — the kernel scores
+    its own autoregressive params against them in place and the result carries
+    'nll' (B, T) per-step -log softmax(params)[y]. This is how big-vocab natural
+    eval stays on the kernel: at Q=65536 the full params array is tens of GB and
+    cannot leave the chip (or even be allocated) on ANY path."""
     from ..ops.pallas import wavenet_ar
 
     hp.freeze()  # lru_cache below keys on hp identity
     on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    if y_eval is not None:
+        assert hp.input_type == 'mulaw-quantize' and wavenet_ar.supports(hp)
+        assert not return_params, 'y_eval replaces params streaming'
+        fn = _fast_generate_fn(hp, dtype, not on_tpu, False,
+                               g is not None and hp.gin_channels > 0,
+                               with_nll=True)
+        audio, nll = fn(params, c, g, rng, y=y_eval)
+        return dict(audio=audio, nll=nll)
     if use_pallas is None:
         use_pallas = (on_tpu and targets is None and c is not None
                       and wavenet_ar.supports(hp)
                       # big-vocab categorical can't stream params back — eval
-                      # paths that need them fall back to the scan
+                      # paths that need them pass y_eval (in-kernel NLL) instead
                       and not (return_params and wavenet_ar.is_big_vocab(hp)))
     if use_pallas:
         fn = _fast_generate_fn(hp, dtype, not on_tpu, return_params,
@@ -251,7 +276,10 @@ def generate_data_parallel(params, hp: Hparams, rng: jax.Array, c: jnp.ndarray,
     return dict(audio=audio, params=dist_params)
 
 
-def make_jitted_steps(hp: Hparams, mesh, dtype=jnp.float32):
+def make_jitted_steps(hp: Hparams, mesh, dtype=None):
+    if dtype is None:
+        from .tacotron_trainer import resolve_compute_dtype
+        dtype = resolve_compute_dtype(hp)
     hp.freeze()
     rep = mesh_lib.replicated(mesh)
     data = mesh_lib.batch_sharding(mesh)
