@@ -289,9 +289,12 @@ def run_eval(state, eval_step, test_batches, mesh, hp, step, writer,
 def save_checkpoint_artifacts(state, ckpt, eval_step, batch, mesh, hp, step,
                               plot_dir, wav_dir, mel_dir, rng, lead=True):
     log('\nSaving checkpoint + artifacts at step {}'.format(step))
-    if lead:
-        host_state = jax.device_get(state)
-        ckpt.save(step, host_state)
+    # orbax save is a collective in multi-process runs (it synchronizes through
+    # the coordination service): EVERY process must call it; orbax itself writes
+    # from the primary host only. A lead-only call deadlocks the barrier against
+    # the other hosts' next collective.
+    host_state = jax.device_get(state)
+    ckpt.save(step, host_state)
     if batch is None:
         return
     # batch came from the (per-host) loader: already local rows in multi-process
