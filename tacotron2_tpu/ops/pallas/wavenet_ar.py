@@ -185,7 +185,7 @@ def _dilations(hp: Hparams):
 
 
 def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool,
-                 greedy: bool = False):
+                 greedy: bool = False, want_nll: bool = False):
     L = hp.layers
     R = hp.residual_channels
     G = hp.gate_channels
@@ -214,12 +214,16 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
     fused = hp.wavenet_fused_ar
     sqh = sqrt_half  # alias for the step bodies
 
-    def kernel(c_hbm, noise_hbm, first_w, first_b, w_tap, b_tap, w_os, b_os,
+    def kernel(c_hbm, noise_hbm, y_hbm, first_w, first_b, w_tap, b_tap, w_os, b_os,
                w_fused, b_fused, w_cond, b_cond, g_cond, w_s1, b_s1, w_s2, b_s2,
                seed, *out_and_scratch):
+        y_vmem = nll_vmem = nll_hbm = None
         if want_params:
             (samples_hbm, params_hbm, c_vmem, noise_vmem, samples_vmem, params_vmem,
              prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
+        elif want_nll:
+            (samples_hbm, nll_hbm, c_vmem, noise_vmem, samples_vmem, nll_vmem,
+             y_vmem, prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
         else:
             (samples_hbm, c_vmem, noise_vmem, samples_vmem,
              prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
@@ -246,6 +250,11 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                     noise_hbm.at[pl.ds(ci * CHUNK, CHUNK)], noise_vmem, copy_sem)
                 n_dma.start()
                 n_dma.wait()
+            if want_nll:  # ground-truth ids for the in-kernel eval NLL
+                y_dma = pltpu.make_async_copy(
+                    y_hbm.at[pl.ds(ci * CHUNK, CHUNK)], y_vmem, copy_sem)
+                y_dma.start()
+                y_dma.wait()
 
             if chunk_cond:
                 # conditioning projections for the whole slab in one MXU matmul,
@@ -420,6 +429,18 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                 if want_params:
                     params_vmem[si, :, :] = jnp.pad(params_t,
                                                     ((0, 0), (0, p_lane - out_ch)))
+                if want_nll:
+                    # eval NLL in place: -log softmax(params)[y_t]. Full (B, T, Q)
+                    # params cannot leave the chip at Q=65536 (tens of GB); the
+                    # scalar the eval actually needs can.
+                    y_t = y_vmem[si, :][:, None][:B_PAD, :]        # (B_PAD, 1) int32
+                    idx = jax.lax.broadcasted_iota(jnp.int32, (B_PAD, out_ch), 1)
+                    p_true = jnp.sum(params_t * (idx == y_t).astype(jnp.float32),
+                                     axis=1)
+                    pmax = jnp.max(params_t, axis=1)
+                    lse = pmax + jnp.log(jnp.sum(
+                        jnp.exp(params_t - pmax[:, None]), axis=1))
+                    nll_vmem[si, :] = jnp.pad(lse - p_true, (0, LANE - B_PAD))
                 return 0
 
             jax.lax.fori_loop(0, CHUNK, step_body, 0)
@@ -433,6 +454,11 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                     params_vmem, params_hbm.at[pl.ds(ci * CHUNK, CHUNK)], out_sem)
                 p_dma.start()
                 p_dma.wait()
+            if want_nll:
+                nll_dma = pltpu.make_async_copy(
+                    nll_vmem, nll_hbm.at[pl.ds(ci * CHUNK, CHUNK)], out_sem)
+                nll_dma.start()
+                nll_dma.wait()
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
@@ -444,7 +470,8 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
 def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
                 noise: jnp.ndarray, hp: Hparams, g_cond: Optional[jnp.ndarray] = None,
                 interpret: bool = False, return_params: bool = True,
-                seed: Optional[jnp.ndarray] = None, greedy: bool = False
+                seed: Optional[jnp.ndarray] = None, greedy: bool = False,
+                y_eval: Optional[jnp.ndarray] = None
                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the AR kernel.
 
@@ -458,18 +485,38 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         return_params: also stream the distribution params back (eval/debug). Off by
             default for synthesis: the lane-padded params output costs LANE/out_ch
             (64x for Gaussian) extra HBM and DMA on long audio. Unsupported for
-            big-vocab categorical (a (CHUNK, B, 65536) slab would not fit VMEM).
+            big-vocab categorical: the (B, T, 65536) f32 params array is tens of GB
+            — it cannot even be allocated in HBM, on ANY path. Use y_eval instead.
         seed: (1,) int32 PRNG seed for the in-kernel Gumbel (big vocab only).
         greedy: big-vocab categorical only — argmax without Gumbel noise
             (deterministic; used by the parity tests).
-    Returns: (audio (B, T), params (B, T, out_channels) or None).
+        y_eval: categorical only — (B, T) int32 ground-truth class ids. When given,
+            the kernel computes the natural-eval NLL in place each step
+            (-log softmax(params)[y_t], what masked_cross_entropy_loss would
+            compute from streamed params) and returns it as the second output.
+            This keeps big-vocab natural eval on the kernel: the per-step scalar
+            leaves the chip instead of the 65536-wide params row.
+    Returns: (audio (B, T), params (B, T, out_channels) | nll (B, T) | None).
     """
     B, T, cin = c_up.shape
     big_vocab = is_big_vocab(hp)
+    want_nll = y_eval is not None
     assert B <= max_batch(hp), f'kernel supports batch <= {max_batch(hp)} here'
+    if want_nll:
+        assert hp.input_type == 'mulaw-quantize', \
+            'y_eval (in-kernel NLL) is for categorical output'
+        assert not return_params, 'y_eval replaces params streaming'
     if big_vocab:
-        assert not return_params, \
-            'big-vocab categorical cannot stream params; use the scan path for eval'
+        assert not return_params, (
+            'big-vocab categorical cannot stream params (the (B, T, Q) array '
+            'does not fit HBM); pass y_eval for the in-kernel eval NLL')
+        assert greedy or seed is not None, (
+            'big-vocab categorical sampling ignores `noise` and uses the in-kernel '
+            'PRNG: pass an explicit seed (else every call replays the identical '
+            'Gumbel stream)')
+    else:
+        assert not greedy, \
+            'greedy=True is only implemented for big-vocab categorical'
     if hp.wavenet_fused_ar:
         want = (hp.layers, hp.gate_channels // 2, hp.gate_channels)
         assert weights['w_fused'].shape == want, (
@@ -501,8 +548,12 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         n_in = jnp.zeros((T_pad, B_PAD, noise_lanes), jnp.float32)
         n_in = n_in.at[:T, :B, :noise.shape[-1]].set(jnp.transpose(noise, (1, 0, 2)))
 
+    y_in = jnp.zeros((T_pad, LANE), jnp.int32)
+    if want_nll:
+        y_in = y_in.at[:T, :B].set(y_eval.astype(jnp.int32).T)
+
     kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD, return_params, has_g,
-                                         greedy=greedy)
+                                         greedy=greedy, want_nll=want_nll)
 
     noise_slab = (pltpu.VMEM((CHUNK, LANE), jnp.float32)
                   if (gaussian or is_big_vocab(hp))
@@ -514,6 +565,9 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     ]
     if return_params:
         scratch.append(pltpu.VMEM((CHUNK, B_PAD, p_lane), jnp.float32))  # params slab
+    if want_nll:
+        scratch.append(pltpu.VMEM((CHUNK, LANE), jnp.float32))  # nll slab
+        scratch.append(pltpu.VMEM((CHUNK, LANE), jnp.int32))    # y slab
     scratch += [
         pltpu.VMEM((B_PAD, R), jnp.float32),                   # next-step first-conv output h
         pltpu.VMEM((CHUNK, min(B_PAD, 16), hp.layers * hp.gate_channels),
@@ -523,16 +577,20 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     ] + [pltpu.VMEM((s, B_PAD, R), jnp.float32) for s in buf_sizes]
 
     out_shape = [jax.ShapeDtypeStruct((T_pad, LANE), jnp.float32)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if return_params:
         out_shape.append(jax.ShapeDtypeStruct((T_pad, B_PAD, p_lane), jnp.float32))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    if want_nll:
+        out_shape.append(jax.ShapeDtypeStruct((T_pad, LANE), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),        # c stays in HBM
-                  pl.BlockSpec(memory_space=pltpu.ANY)]        # noise stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),        # c stays in HBM
+                  pl.BlockSpec(memory_space=pl.ANY),        # noise stays in HBM
+                  pl.BlockSpec(memory_space=pl.ANY)]        # y_eval ids, HBM
                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 15
                  + [pl.BlockSpec(memory_space=pltpu.SMEM)],    # PRNG seed
         out_specs=tuple(out_specs),
@@ -540,7 +598,7 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
                                              vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(c_in, n_in,
+    )(c_in, n_in, y_in,
       weights['first_w'], weights['first_b'], weights['w_tap'], weights['b_tap'],
       weights['w_os'], weights['b_os'], weights['w_fused'], weights['b_fused'],
       weights['w_cond'], weights['b_cond'],
@@ -551,6 +609,8 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     audio = samples[:T, :B].T
     if categorical:
         audio = audio.astype(jnp.int32)  # class ids, matching the scan path
+    if want_nll:
+        return audio, outs[1][:T, :B].T                         # per-step NLL (B, T)
     if not return_params:
         return audio, None
     return audio, jnp.transpose(outs[1][:T, :B, :hp.out_channels], (1, 0, 2))

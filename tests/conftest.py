@@ -21,6 +21,27 @@ assert len(jax.devices()) == 8, 'tests require the 8-device virtual CPU mesh'
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers',
+        'kernel_tier: slow interpret-mode Pallas kernel parity case (opt-in: '
+        '--kernel or T2_KERNEL_TESTS=1; one representative stays in the default tier)')
+
+
+def pytest_addoption(parser):
+    parser.addoption('--kernel', action='store_true', default=False,
+                     help='also run the kernel_tier interpret-mode Pallas parity tests')
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption('--kernel') or os.environ.get('T2_KERNEL_TESTS') == '1':
+        return
+    skip = pytest.mark.skip(reason='kernel tier (run with --kernel or T2_KERNEL_TESTS=1)')
+    for item in items:
+        if 'kernel_tier' in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture()
 def hp():
     from tacotron2_tpu.config import default_hparams

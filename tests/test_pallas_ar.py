@@ -33,8 +33,14 @@ def _setup(hp):
     return state, model, c, c_up
 
 
-@pytest.mark.parametrize('out_cfg,fused', [('gaussian', False), ('mol', False),
-                                           ('gaussian', True), ('mol', True)])
+KT = pytest.mark.kernel_tier
+
+
+@pytest.mark.parametrize('out_cfg,fused', [
+    pytest.param('gaussian', False, marks=KT),
+    pytest.param('mol', False, marks=KT),
+    ('gaussian', True),  # default production config: the representative default-tier case
+    pytest.param('mol', True, marks=KT)])
 def test_kernel_matches_scan(out_cfg, fused):
     """fused=True exercises the restructured critical path (wavenet_fused_ar):
     same packed weights, algebraically identical step, one serial matmul/layer."""
@@ -87,6 +93,7 @@ def test_generate_dispatch_fallback():
     assert out['audio'].shape == (2, c_up.shape[1])
 
 
+@pytest.mark.kernel_tier
 @pytest.mark.parametrize('variant', ['weight_norm', 'no_bias'])
 def test_kernel_matches_scan_special_configs(variant):
     """Weight-normalized and bias-less configs must flow through pack_params correctly."""
@@ -121,6 +128,7 @@ def test_kernel_matches_scan_special_configs(variant):
     assert rel < 5e-2, f"{variant}: kernel/scan relative divergence {rel} (abs {diff})"
 
 
+@pytest.mark.kernel_tier
 @pytest.mark.parametrize('fused', [True, False])
 def test_kernel_categorical_matches_scan(fused):
     """mulaw-quantize (categorical) through the kernel: teacher-forced cross-check.
@@ -160,6 +168,7 @@ def _setup_q(hp):
     return state, model, c, c_up
 
 
+@pytest.mark.kernel_tier
 @pytest.mark.parametrize('fused', [True, False])
 def test_kernel_global_conditioning_matches_scan(fused):
     """Speaker-conditioned generation through the kernel: the merged (B, L*G)
@@ -200,6 +209,7 @@ def test_kernel_global_conditioning_matches_scan(fused):
     assert float(np.abs(np.asarray(audio_pk) - np.asarray(audio_ng)).max()) > 1e-4
 
 
+@pytest.mark.kernel_tier
 def test_generate_batch_tiling(monkeypatch):
     """B > B_MAX must tile over kernel launches (padded tail) — same distribution
     params as the scan teacher-forced cross-check on the full batch."""
@@ -226,6 +236,63 @@ def test_generate_batch_tiling(monkeypatch):
     assert diff < 2e-2, f'tiled kernel/scan divergence {diff}'
 
 
+def test_kernel_eval_nll_matches_host_ce():
+    """y_eval (in-kernel natural-eval NLL) must equal the host-side masked CE
+    computed from streamed params — validated on the small-vocab config where both
+    paths exist. The same kernel code path serves big vocab, where params cannot
+    leave the chip at all (see test_kernel_big_vocab_eval_nll)."""
+    hp = default_hparams()
+    hp.parse(TINY + ",input_type='mulaw-quantize',quantize_channels=256,out_channels=256")
+    state, model, c, c_up = _setup_q(hp)
+    T = c_up.shape[1]
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.integers(0, 256, (2, T)).astype(np.int32))
+
+    noise = wavenet_ar.make_noise(hp, jax.random.PRNGKey(7), 2, T)
+    weights = wavenet_ar.pack_params(state.params, hp)
+    audio_a, params_pk = wavenet_ar.generate_ar(weights, c_up, noise, hp,
+                                                interpret=True)
+    audio_b, nll = wavenet_ar.generate_ar(weights, c_up, noise, hp,
+                                          interpret=True, return_params=False,
+                                          y_eval=y)
+    # identical noise → identical generation on both calls
+    assert np.array_equal(np.asarray(audio_a), np.asarray(audio_b))
+    logp = jax.nn.log_softmax(params_pk, axis=-1)
+    ref_nll = -np.take_along_axis(np.asarray(logp),
+                                  np.asarray(y)[..., None], axis=-1)[..., 0]
+    assert np.abs(ref_nll - np.asarray(nll)).max() < 1e-3
+
+
+@pytest.mark.kernel_tier
+def test_kernel_big_vocab_eval_nll():
+    """Big-vocab natural eval stays on the kernel: greedy generation + in-kernel
+    NLL vs the scan oracle's teacher-forced params CE on the same history."""
+    hp = default_hparams()
+    hp.parse(TINY + ",input_type='mulaw-quantize',quantize_channels=4096,"
+                    "out_channels=4096")
+    assert wavenet_ar.is_big_vocab(hp)
+    state, model, c, c_up = _setup_q(hp)
+    T = c_up.shape[1]
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.integers(0, 4096, (2, T)).astype(np.int32))
+
+    noise = wavenet_ar.make_noise(hp, jax.random.PRNGKey(7), 2, T)
+    weights = wavenet_ar.pack_params(state.params, hp)
+    audio_pk, nll = wavenet_ar.generate_ar(weights, c_up, noise, hp,
+                                           interpret=True, return_params=False,
+                                           greedy=True, y_eval=y)
+    out_scan = model.apply({'params': state.params}, jax.random.PRNGKey(7), c,
+                           None, None, None, jnp.asarray(audio_pk),
+                           method=WaveNet.incremental)
+    logp = jax.nn.log_softmax(out_scan['params'], axis=-1)
+    ref_nll = -np.take_along_axis(np.asarray(logp),
+                                  np.asarray(y)[..., None], axis=-1)[..., 0]
+    # kernel params are bf16-weight products; compare with a loose tolerance
+    assert np.abs(ref_nll - np.asarray(nll)).max() < 0.15, \
+        np.abs(ref_nll - np.asarray(nll)).max()
+
+
+@pytest.mark.kernel_tier
 def test_kernel_big_vocab_greedy_matches_scan():
     """Categorical vocab > 1024 (in-kernel Gumbel path, here exercised greedily so
     interpret mode needs no PRNG): the kernel's per-step argmax ids must match the
