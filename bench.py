@@ -104,6 +104,66 @@ def build_pipeline(hp, B, T_in, dec_frames, taco_dtype, on_accel):
     return taco_fn, vocode, normalize_mels, (taco_vars, inputs, input_lengths)
 
 
+def taco_train_throughput(B, Tin=128, Tout=512, n_pipe=8):
+    """Training mel-frames/sec at batch B (on-device data, bf16, fused decoder).
+
+    The decoder scan's ~33 MB/step weight traffic is batch-invariant, so frames/s
+    rises superlinearly in B until FLOPs bind — the recommended TPU batch is the
+    largest that fits (128 ≈ 2.6x the frames/s of the reference-parity 32)."""
+    from tacotron2_tpu.config import default_hparams
+    from tacotron2_tpu.training import tacotron_trainer as tt
+
+    hp = default_hparams()
+    hp.parse('fused_decoder=True,decoder_scan_unroll=4')
+    rng = jax.random.PRNGKey(0)
+    batch = dict(
+        inputs=jax.random.randint(rng, (B, Tin), 2, 60),
+        input_lengths=jnp.full((B,), Tin, jnp.int32),
+        mel_targets=jax.random.uniform(rng, (B, Tout, hp.num_mels),
+                                       minval=-4., maxval=4.),
+        stop_token_targets=jnp.zeros((B, Tout), jnp.float32),
+        targets_lengths=jnp.full((B,), Tout, jnp.int32),
+        linear_targets=jax.random.uniform(rng, (B, Tout, hp.num_freq),
+                                          minval=-4., maxval=4.))
+    state = tt.create_train_state(hp, rng, batch, dtype=jnp.bfloat16)
+    step = jax.jit(partial(tt.train_step, hp=hp, dtype=jnp.bfloat16),
+                   donate_argnums=(0,))
+    state, m = step(state, batch, rng)
+    float(m['loss'])  # compile fence (host fetch: axon block_until_ready lies)
+    t0 = time.time()
+    for _ in range(n_pipe):
+        state, m = step(state, batch, rng)
+    float(m['loss'])
+    dt = (time.time() - t0) / n_pipe
+    return B * Tout / dt, dt
+
+
+def wavenet_train_throughput(B, n_pipe=8):
+    """Training audio samples/sec at batch B (on-device data, bf16)."""
+    from tacotron2_tpu.config import default_hparams
+    from tacotron2_tpu.training import wavenet_trainer as wt
+
+    hp = default_hparams()
+    T = hp.max_time_steps - hp.max_time_steps % hp.get_hop_size()  # 10725
+    Tc = T // hp.get_hop_size()
+    rng = jax.random.PRNGKey(0)
+    batch = dict(
+        audio=jax.random.uniform(rng, (B, T), minval=-0.5, maxval=0.5),
+        input_lengths=jnp.full((B,), T, jnp.int32),
+        mel_conditions=jax.random.uniform(rng, (B, Tc, hp.num_mels)))
+    state = wt.create_train_state(hp, rng, batch)
+    step = jax.jit(partial(wt.train_step, hp=hp, dtype=jnp.bfloat16),
+                   donate_argnums=(0,))
+    state, m = step(state, batch, rng)
+    float(m['loss'])
+    t0 = time.time()
+    for _ in range(n_pipe):
+        state, m = step(state, batch, rng)
+    float(m['loss'])
+    dt = (time.time() - t0) / n_pipe
+    return B * T / dt, dt
+
+
 def main():
     from tacotron2_tpu.utils.runtime import setup_runtime
     setup_runtime()
@@ -155,6 +215,18 @@ def main():
     single_time, audio1 = timed(lambda *a: vocode1(norm1(taco1(*a))), *args1)
     rtf_single = single_time / (audio1.shape[1] / sr)
 
+    # --- training throughput (batch-amortized: the decoder's per-step weight
+    # traffic is batch-invariant, so frames/s scales superlinearly with batch) ---
+    train_extras = {}
+    if on_accel:
+        for Bt in (32, 128):
+            fps, dt = taco_train_throughput(Bt)
+            train_extras[f'tacotron_train_frames_per_sec_b{Bt}'] = round(fps, 1)
+            train_extras[f'tacotron_train_ms_per_step_b{Bt}'] = round(dt * 1000, 1)
+        for Bw in (8, 32):
+            sps, _ = wavenet_train_throughput(Bw)
+            train_extras[f'wavenet_train_samples_per_sec_b{Bw}'] = round(sps, 1)
+
     print(json.dumps({
         'metric': 'text_to_wav_rtf',
         'value': round(rtf_batch, 4),
@@ -166,6 +238,7 @@ def main():
             'wavenet_samples_per_sec_chip': round(samples_per_sec, 1),
             'mel_mae_golden': mel_mae,
             'audio_seconds_per_seq': round(audio_seconds, 3),
+            **train_extras,
         },
     }))
 

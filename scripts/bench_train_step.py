@@ -19,11 +19,14 @@ def main():
     from tacotron2_tpu.training import tacotron_trainer as tt
 
     B, Tin, Tout = 32, 128, 512
+    if '--scale' in sys.argv:
+        # batch-amortized throughput: the decoder's per-step weight traffic
+        # (~33 MB x 512 scan steps) is batch-invariant, so larger batches should
+        # raise frames/sec at similar wall time until FLOPs/VMEM bind
+        scale_batches(Tin, Tout, batches=(32, 64, 128))
+        return
     results = {}
-    if '--pallas-ab' in sys.argv:
-        variants = [('xla', 'fused_decoder=True,pallas_decoder=False'),
-                    ('pallas', 'fused_decoder=True,pallas_decoder=True')]
-    elif '--fused-only' in sys.argv:
+    if '--fused-only' in sys.argv:
         variants = [(True, 'fused_decoder=True')]
     else:
         variants = [(False, 'fused_decoder=False'), (True, 'fused_decoder=True')]
@@ -97,6 +100,44 @@ def main():
     if len(results) == 2:
         print(f'speedup: {results[False]/results[True]:.2f}x '
               f'({results[False]*1000:.1f} -> {results[True]*1000:.1f} ms)')
+
+
+def scale_batches(Tin, Tout, batches):
+    from tacotron2_tpu.config import default_hparams
+    from tacotron2_tpu.training import tacotron_trainer as tt
+
+    base = None
+    for B in batches:
+        hp = default_hparams()
+        hp.parse('fused_decoder=True,decoder_scan_unroll=4')
+        rng = jax.random.PRNGKey(0)
+        batch = dict(
+            inputs=jax.random.randint(rng, (B, Tin), 2, 60),
+            input_lengths=jnp.full((B,), Tin, jnp.int32),
+            mel_targets=jax.random.uniform(rng, (B, Tout, hp.num_mels),
+                                           minval=-4., maxval=4.),
+            stop_token_targets=jnp.zeros((B, Tout), jnp.float32),
+            targets_lengths=jnp.full((B,), Tout, jnp.int32),
+            linear_targets=jax.random.uniform(rng, (B, Tout, hp.num_freq),
+                                              minval=-4., maxval=4.))
+        state = tt.create_train_state(hp, rng, batch, dtype=jnp.bfloat16)
+        step = jax.jit(partial(tt.train_step, hp=hp, dtype=jnp.bfloat16),
+                       donate_argnums=(0,))
+        t0 = time.time()
+        state, m = step(state, batch, rng)
+        float(m['loss'])
+        print(f'B={B:4d}: compile+first step {time.time()-t0:.1f}s')
+        n_pipe = 10
+        t0 = time.time()
+        for _ in range(n_pipe):
+            state, m = step(state, batch, rng)
+        float(m['loss'])
+        ms = 1000 * (time.time() - t0) / n_pipe
+        fps = B * Tout / (ms / 1000)
+        if base is None:
+            base = (B, ms, fps)
+        print(f'B={B:4d}: pipelined {ms:.1f} ms/step, {fps:,.0f} mel frames/s '
+              f'({fps / base[2]:.2f}x frames/s, {ms / base[1]:.2f}x time vs B={base[0]})')
 
 
 if __name__ == '__main__':

@@ -24,7 +24,14 @@ and utterance-length stop tokens, making these fast hardware-validation corpora
 when LJSpeech is unavailable (zero-egress box).
 
 Usage: python scripts/make_synth_corpus.py OUT_DIR [n_utterances] [tone|noise]
+           [min_words] [max_words]
 Writes OUT_DIR/LJSpeech-1.1/{wavs/*.wav, metadata.csv}.
+
+Utterance lengths: words are drawn uniform [min_words, max_words] (defaults 2, 5 —
+the historical short-corpus behavior). When max_words > 12 a 10% long tail is drawn
+from the upper half of the range so a multi-hour corpus spreads mel lengths across
+many shape buckets and the longest utterances exceed max_mel_frames (900 frames =
+11.2 s at hop 275), exercising the preprocessor's drop path.
 """
 
 import os
@@ -71,25 +78,33 @@ def main():
     out = sys.argv[1] if len(sys.argv) > 1 else '.'
     n_utt = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     mode = sys.argv[3] if len(sys.argv) > 3 else 'tone'
+    min_words = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    max_words = int(sys.argv[5]) if len(sys.argv) > 5 else 5
     assert mode in ('tone', 'noise'), mode
     root = os.path.join(out, 'LJSpeech-1.1')
     os.makedirs(os.path.join(root, 'wavs'), exist_ok=True)
     rng = np.random.default_rng(1234)
     rows = []
+    total_sec = 0.0
     for i in range(n_utt):
-        words = [WORDS[j] for j in rng.integers(0, len(WORDS), rng.integers(2, 6))]
+        if max_words > 12 and rng.random() < 0.1:
+            n_words = int(rng.integers((min_words + max_words) // 2, max_words + 1))
+        else:
+            n_words = int(rng.integers(min_words, min(max_words, 12) + 1))
+        words = [WORDS[j] for j in rng.integers(0, len(WORDS), n_words)]
         text = ' '.join(words)
         if mode == 'tone':
             wav = np.concatenate([tone_for(c) for c in text])
         else:
             wav = np.concatenate([noise_for(c, rng) for c in text])
-        name = f'SYN-{i:04d}'
+        total_sec += len(wav) / SR
+        name = f'SYN-{i:05d}'
         wavfile.write(os.path.join(root, 'wavs', name + '.wav'), SR,
                       (wav * 32767).astype(np.int16))
         rows.append(f'{name}|{text}|{text}')
     with open(os.path.join(root, 'metadata.csv'), 'w', encoding='utf-8') as f:
         f.write('\n'.join(rows) + '\n')
-    print(f'wrote {n_utt} {mode} utterances to {root}')
+    print(f'wrote {n_utt} {mode} utterances ({total_sec / 3600:.2f} h) to {root}')
 
 
 if __name__ == '__main__':
