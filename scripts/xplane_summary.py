@@ -11,7 +11,10 @@ import os
 import sys
 from collections import defaultdict
 
-from tensorflow.core.profiler.protobuf import xplane_pb2
+try:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+except ImportError:  # proto location moved across TF versions
+    from tensorflow.core.profiler.protobuf import xplane_pb2
 
 
 def load(trace_dir: str) -> xplane_pb2.XSpace:
@@ -33,8 +36,9 @@ def summarize(xs: xplane_pb2.XSpace, top_n: int = 25):
         n_events = defaultdict(int)
         span_lo, span_hi = float('inf'), 0.0
         for line in plane.lines:
-            # XLA op lines carry the per-op events; step lines duplicate them
-            if line.name in ('Steps',):
+            # 'XLA Ops' is the synchronous execution timeline; 'Async XLA Ops'
+            # durations overlap compute and would double-count device time
+            if line.name not in ('XLA Ops',):
                 continue
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, '?')

@@ -16,6 +16,12 @@ if '--xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# Persistent compilation cache: the suite's wall time is dominated by XLA CPU
+# compiles of the same tiny programs every run; with a warm cache the full
+# default tier drops from ~15-20 min to a few minutes on this 1-core box.
+_cache_dir = os.path.expanduser('~/.cache/tacotron2_tpu_xla')
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 assert len(jax.devices()) == 8, 'tests require the 8-device virtual CPU mesh'
 
 import pytest  # noqa: E402
