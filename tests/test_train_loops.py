@@ -102,7 +102,7 @@ def test_tacotron_train_loop_smoke(corpus):
     assert CheckpointManager(save_dir, max_to_keep=20).latest_step() == 3
 
 
-def test_wavenet_train_loop_smoke(corpus):
+def test_wavenet_train_loop_smoke(corpus, capsys):
     from tacotron2_tpu.training.wavenet_train import wavenet_train
     hp = default_hparams()
     hp.parse(WN_TINY)
@@ -112,6 +112,9 @@ def test_wavenet_train_loop_smoke(corpus):
 
     save_dir = wavenet_train(_args(corpus, wavenet_train_steps=2), log_dir, hp, input_path)
     assert save_dir == os.path.join(log_dir, 'wave_pretrained')
+    # short-run EMA guard: 2 steps at decay 0.9999 leaves the shadow
+    # init-dominated — the loop must warn (round-2 hardware footgun)
+    assert 'EMA shadow init-dominated' in capsys.readouterr().out
 
     from tacotron2_tpu.training.checkpointing import CheckpointManager
     assert CheckpointManager(save_dir, max_to_keep=20).latest_step() == 2
