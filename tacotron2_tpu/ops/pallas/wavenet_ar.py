@@ -185,7 +185,8 @@ def _dilations(hp: Hparams):
 
 
 def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool,
-                 greedy: bool = False, want_nll: bool = False):
+                 greedy: bool = False, want_nll: bool = False,
+                 has_state: bool = False, ret_state: bool = False):
     L = hp.layers
     R = hp.residual_channels
     G = hp.gate_channels
@@ -216,26 +217,55 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
 
     def kernel(c_hbm, noise_hbm, y_hbm, first_w, first_b, w_tap, b_tap, w_os, b_os,
                w_fused, b_fused, w_cond, b_cond, g_cond, w_s1, b_s1, w_s2, b_s2,
-               seed, *out_and_scratch):
-        y_vmem = nll_vmem = nll_hbm = None
-        if want_params:
-            (samples_hbm, params_hbm, c_vmem, noise_vmem, samples_vmem, params_vmem,
-             prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
-        elif want_nll:
-            (samples_hbm, nll_hbm, c_vmem, noise_vmem, samples_vmem, nll_vmem,
-             y_vmem, prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
+               seed, *rest):
+        # positional unpack: [state inputs] | outputs | scratch (order mirrors the
+        # in_specs / out_shape / scratch_shapes lists in generate_ar)
+        rest = list(rest)
+        bufs_in = prev_in = None
+        if has_state:
+            bufs_in = [rest.pop(0) for _ in range(L)]
+            prev_in = rest.pop(0)
+        samples_hbm = rest.pop(0)
+        params_hbm = rest.pop(0) if want_params else None
+        nll_hbm = rest.pop(0) if want_nll else None
+        bufs_out = prev_out = None
+        if ret_state:
+            bufs_out = [rest.pop(0) for _ in range(L)]
+            prev_out = rest.pop(0)
+        c_vmem = rest.pop(0)
+        noise_vmem = rest.pop(0)
+        samples_vmem = rest.pop(0)
+        params_vmem = rest.pop(0) if want_params else None
+        nll_vmem = y_vmem = None
+        if want_nll:
+            nll_vmem = rest.pop(0)
+            y_vmem = rest.pop(0)
+        prev_ref = rest.pop(0)
+        cond_vmem = rest.pop(0)
+        copy_sem = rest.pop(0)
+        out_sem = rest.pop(0)
+        bufs = rest
+
+        if has_state:
+            # streaming continuation: ring buffers + next-step h from the caller
+            for li in range(L):
+                s_dma = pltpu.make_async_copy(bufs_in[li], bufs[li], copy_sem)
+                s_dma.start()
+                s_dma.wait()
+            prev_ref[:] = prev_in[:]
         else:
-            (samples_hbm, c_vmem, noise_vmem, samples_vmem,
-             prev_ref, cond_vmem, copy_sem, out_sem, *bufs) = out_and_scratch
-        # zero ring buffers; prev_ref holds the first-conv output h for the NEXT
-        # step (computed at sampling time), so all input types share one step body
-        for buf in bufs:
-            buf[:] = jnp.zeros_like(buf)
-        if categorical:
-            prev_ref[:] = jnp.broadcast_to(
-                first_w[init_id, :].astype(jnp.float32) + first_b[:], prev_ref.shape)
-        else:
-            prev_ref[:] = jnp.broadcast_to(first_b[:], prev_ref.shape)
+            # zero ring buffers; prev_ref holds the first-conv output h for the
+            # NEXT step (computed at sampling time), so all input types share one
+            # step body
+            for buf in bufs:
+                buf[:] = jnp.zeros_like(buf)
+            if categorical:
+                prev_ref[:] = jnp.broadcast_to(
+                    first_w[init_id, :].astype(jnp.float32) + first_b[:],
+                    prev_ref.shape)
+            else:
+                prev_ref[:] = jnp.broadcast_to(first_b[:], prev_ref.shape)
+        t_base = seed[1]  # absolute step offset (streaming; 0 on fresh calls)
         if big_vocab and not greedy:
             pltpu.prng_seed(seed[0])  # one stream for the whole call
 
@@ -268,7 +298,8 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                 cond_vmem[:] = cond_slab.astype(jnp.bfloat16)
 
             def step_body(si, _):
-                t = ci * CHUNK + si
+                t = t_base + ci * CHUNK + si  # absolute: ring slots stay aligned
+                                              # across streamed chunks
                 h = prev_ref[:]                                   # (B_PAD, R)
 
                 if chunk_cond:
@@ -463,15 +494,25 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
+        if ret_state:
+            # export the final generation state for the next streamed chunk
+            for li in range(L):
+                e_dma = pltpu.make_async_copy(bufs[li], bufs_out[li], out_sem)
+                e_dma.start()
+                e_dma.wait()
+            prev_out[:] = prev_ref[:]
+
     return kernel, buf_sizes, nr
 
 
-@partial(jax.jit, static_argnames=('hp', 'interpret', 'return_params', 'greedy'))
+@partial(jax.jit, static_argnames=('hp', 'interpret', 'return_params', 'greedy',
+                                   'return_state'))
 def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
                 noise: jnp.ndarray, hp: Hparams, g_cond: Optional[jnp.ndarray] = None,
                 interpret: bool = False, return_params: bool = True,
                 seed: Optional[jnp.ndarray] = None, greedy: bool = False,
-                y_eval: Optional[jnp.ndarray] = None
+                y_eval: Optional[jnp.ndarray] = None,
+                state_in: Optional[Tuple] = None, return_state: bool = False
                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the AR kernel.
 
@@ -496,7 +537,14 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
             compute from streamed params) and returns it as the second output.
             This keeps big-vocab natural eval on the kernel: the per-step scalar
             leaves the chip instead of the 65536-wide params row.
-    Returns: (audio (B, T), params (B, T, out_channels) | nll (B, T) | None).
+        state_in / return_state: streaming. state_in is the tuple returned by a
+            previous return_state=True call (ring buffers, next-step h, absolute
+            step offset); the next call continues generation exactly where the
+            previous chunk stopped — chunked/streaming vocoding with constant
+            memory and bit-identical results to one long call. return_state=True
+            requires T to be a multiple of CHUNK (pad steps would pollute the
+            carried ring buffers).
+    Returns: (audio (B, T), params | nll | None[, state] when return_state).
     """
     B, T, cin = c_up.shape
     big_vocab = is_big_vocab(hp)
@@ -552,8 +600,25 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     if want_nll:
         y_in = y_in.at[:T, :B].set(y_eval.astype(jnp.int32).T)
 
+    has_state = state_in is not None
+    if has_state or return_state:
+        assert interpret or hp.residual_channels % LANE == 0, (
+            'streaming state DMA needs lane-aligned residual_channels '
+            f'({hp.residual_channels} % {LANE} != 0)')
+    if return_state:
+        assert T % CHUNK == 0, (
+            f'return_state requires T % {CHUNK} == 0 (pad steps would pollute '
+            'the carried ring buffers); only the final streamed chunk may be '
+            'ragged')
+    t0 = state_in[2] if has_state else jnp.zeros((), jnp.int32)
+    ctrl = jnp.stack([
+        (seed[0] if seed is not None else jnp.int32(0)),
+        t0.astype(jnp.int32)]).astype(jnp.int32)               # [prng seed, t base]
+
     kernel, buf_sizes, nr = _make_kernel(hp, T_pad, B_PAD, return_params, has_g,
-                                         greedy=greedy, want_nll=want_nll)
+                                         greedy=greedy, want_nll=want_nll,
+                                         has_state=has_state,
+                                         ret_state=return_state)
 
     noise_slab = (pltpu.VMEM((CHUNK, LANE), jnp.float32)
                   if (gaussian or is_big_vocab(hp))
@@ -584,36 +649,60 @@ def generate_ar(weights: Dict[str, jnp.ndarray], c_up: jnp.ndarray,
     if want_nll:
         out_shape.append(jax.ShapeDtypeStruct((T_pad, LANE), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    n_data_outs = len(out_shape)
+    if return_state:
+        for s in buf_sizes:
+            out_shape.append(jax.ShapeDtypeStruct((s, B_PAD, R), jnp.float32))
+            out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((B_PAD, R), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY),        # c stays in HBM
+                 pl.BlockSpec(memory_space=pl.ANY),        # noise stays in HBM
+                 pl.BlockSpec(memory_space=pl.ANY)]        # y_eval ids, HBM
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 15
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)])  # [prng seed, t base]
+    args = [c_in, n_in, y_in,
+            weights['first_w'], weights['first_b'], weights['w_tap'],
+            weights['b_tap'], weights['w_os'], weights['b_os'],
+            weights['w_fused'], weights['b_fused'],
+            weights['w_cond'], weights['b_cond'],
+            g_in, weights['w_s1'], weights['b_s1'], weights['w_s2'],
+            weights['b_s2'], ctrl]
+    if has_state:
+        in_specs += ([pl.BlockSpec(memory_space=pl.ANY)] * len(buf_sizes)
+                     + [pl.BlockSpec(memory_space=pltpu.VMEM)])
+        args += list(state_in[0]) + [state_in[1]]
 
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),        # c stays in HBM
-                  pl.BlockSpec(memory_space=pl.ANY),        # noise stays in HBM
-                  pl.BlockSpec(memory_space=pl.ANY)]        # y_eval ids, HBM
-                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 15
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)],    # PRNG seed
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
                                              vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(c_in, n_in, y_in,
-      weights['first_w'], weights['first_b'], weights['w_tap'], weights['b_tap'],
-      weights['w_os'], weights['b_os'], weights['w_fused'], weights['b_fused'],
-      weights['w_cond'], weights['b_cond'],
-      g_in, weights['w_s1'], weights['b_s1'], weights['w_s2'], weights['b_s2'],
-      seed if seed is not None else jnp.zeros((1,), jnp.int32))
+    )(*args)
 
-    samples = outs[0] if isinstance(outs, (tuple, list)) else outs
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    samples = outs[0]
     audio = samples[:T, :B].T
     if categorical:
         audio = audio.astype(jnp.int32)  # class ids, matching the scan path
     if want_nll:
-        return audio, outs[1][:T, :B].T                         # per-step NLL (B, T)
-    if not return_params:
-        return audio, None
-    return audio, jnp.transpose(outs[1][:T, :B, :hp.out_channels], (1, 0, 2))
+        second = outs[1][:T, :B].T                              # per-step NLL (B, T)
+    elif return_params:
+        second = jnp.transpose(outs[1][:T, :B, :hp.out_channels], (1, 0, 2))
+    else:
+        second = None
+    if not return_state:
+        return audio, second
+    state_out = (tuple(outs[n_data_outs:n_data_outs + len(buf_sizes)]),
+                 outs[n_data_outs + len(buf_sizes)],
+                 t0 + T)
+    return audio, second, state_out
 
 
 def make_noise(hp: Hparams, rng: jax.Array, B: int, T: int) -> jnp.ndarray:
