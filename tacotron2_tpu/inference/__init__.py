@@ -1,3 +1,5 @@
-from . import tacotron_synthesizer, wavenet_synthesizer
+from . import streaming, tacotron_synthesizer, wavenet_synthesizer
+from .streaming import StreamingSynthesizer
 
-__all__ = ['tacotron_synthesizer', 'wavenet_synthesizer']
+__all__ = ['tacotron_synthesizer', 'wavenet_synthesizer', 'streaming',
+           'StreamingSynthesizer']

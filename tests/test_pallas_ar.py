@@ -278,6 +278,23 @@ def test_stream_vocode_generator():
     # (weak check: the generator consumed state without error and lengths add up)
 
 
+def test_streaming_postprocess_filter_state():
+    """Chunked inverse-preemphasis with carried lfilter state must equal the
+    one-shot filter (inference/streaming.py applies it per chunk)."""
+    from scipy.signal import lfilter
+
+    from tacotron2_tpu.ops import audio as audio_ops
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, 1000)
+    full = audio_ops.inv_preemphasis(x, 0.97, True)
+    zi = np.zeros(1)
+    outs = []
+    for i in range(0, len(x), 256):
+        y, zi = lfilter([1.0], [1.0, -0.97], x[i:i + 256], zi=zi)
+        outs.append(y)
+    assert np.allclose(np.concatenate(outs), full, atol=1e-12)
+
+
 def test_kernel_eval_nll_matches_host_ce():
     """y_eval (in-kernel natural-eval NLL) must equal the host-side masked CE
     computed from streamed params — validated on the small-vocab config where both
