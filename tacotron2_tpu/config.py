@@ -231,6 +231,9 @@ class Hparams:
     mesh_data_axis: int = -1          # -1 = use all available devices on the data axis
     mesh_model_axis: int = 1          # model-parallel axis size (WaveNet channel sharding)
     compute_dtype: str = 'bfloat16'   # activations dtype on TPU ('float32' to disable)
+    transfer_dtype: str = 'float32'   # host->device wire dtype for float batch arrays
+                                      # ('float16' halves feed bandwidth; targets are
+                                      # promoted back to f32 arithmetic on device)
     params_dtype: str = 'float32'
     remat_decoder: bool = False       # jax.checkpoint the Tacotron decoder scan body
     data_prefetch: int = 2            # device prefetch depth for the input pipeline

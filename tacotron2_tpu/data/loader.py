@@ -151,6 +151,9 @@ class TacotronDataset:
         # shape pass above — each text is tokenized exactly once per batch)
         batch = [self._load_example(m, s)
                  for m, s in zip(metas[lo:hi], seqs[lo:hi])]
+        # wire dtype: float16 halves host->device feed bandwidth (JAX promotes the
+        # targets back to f32 arithmetic on device; quantization noise ~1e-3 rel)
+        wire = np.float16 if hp.transfer_dtype == 'float16' else np.float32
         inputs = np.stack([np.pad(x[0], (0, in_max - len(x[0])),
                                   constant_values=self._pad) for x in batch])
         mel_targets = np.stack([np.pad(x[1], [(0, mel_max - len(x[1])), (0, 0)],
@@ -158,13 +161,13 @@ class TacotronDataset:
         token_targets = np.stack([np.pad(x[2], (0, mel_max - len(x[2])),
                                          constant_values=self._token_pad) for x in batch])
         out = dict(inputs=inputs, input_lengths=input_lengths[lo:hi],
-                   mel_targets=mel_targets.astype(np.float32),
-                   stop_token_targets=token_targets.astype(np.float32),
+                   mel_targets=mel_targets.astype(wire),
+                   stop_token_targets=token_targets.astype(wire),
                    targets_lengths=targets_lengths[lo:hi])
         if hp.predict_linear:
             out['linear_targets'] = np.stack([
                 np.pad(x[3], [(0, mel_max - len(x[3])), (0, 0)],
-                       constant_values=self._target_pad) for x in batch]).astype(np.float32)
+                       constant_values=self._target_pad) for x in batch]).astype(wire)
         return out
 
 

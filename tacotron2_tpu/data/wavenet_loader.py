@@ -209,6 +209,8 @@ class WaveNetDataset:
             # GLOBAL max so every host pads to the same shape
             max_len = _ensure_divisible(int(max(lens)), hop, False)
 
+        # wire dtype: see TacotronDataset._prepare_batch_indices
+        wire = np.float16 if hp.transfer_dtype == 'float16' else np.float32
         if is_mulaw_quantize(hp.input_type):
             audio_batch = np.stack([
                 np.pad(x, (0, max_len - len(x)), constant_values=self._audio_pad)
@@ -216,7 +218,7 @@ class WaveNetDataset:
         else:
             audio_batch = np.stack([
                 np.pad(x, (0, max_len - len(x)), constant_values=self._audio_pad)
-                for x, _ in cropped]).astype(np.float32)
+                for x, _ in cropped]).astype(wire)
 
         out = dict(audio=audio_batch, input_lengths=input_lengths)
 
@@ -232,8 +234,8 @@ class WaveNetDataset:
                 cs.append(c)
             c_batch = np.stack(cs).astype(np.float32)
             if hp.normalize_for_wavenet:
-                c_batch = ((c_batch - lo) / (hi - lo)).astype(np.float32)
-            out['mel_conditions'] = c_batch
+                c_batch = (c_batch - lo) / (hi - lo)
+            out['mel_conditions'] = c_batch.astype(wire)
         if self.global_condition:
             out['speaker_ids'] = np.asarray(gs, np.int32)
         return out

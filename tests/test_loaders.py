@@ -95,6 +95,21 @@ def test_tacotron_test_batches_fixed(tmp_path, small_hp):
     np.testing.assert_array_equal(tb1[0]['inputs'], tb2[0]['inputs'])
 
 
+def test_transfer_dtype_float16(tmp_path, small_hp):
+    """transfer_dtype='float16' ships the float batch arrays as f16 on the wire
+    (halves host->device feed bandwidth; JAX promotes them back to f32 arithmetic
+    on device — validated end-to-end through both train steps in dev smokes)."""
+    hp = small_hp.replace(transfer_dtype='float16')
+    base, meta = _write_corpus(tmp_path, hp, n=8)
+    ds = TacotronDataset(meta, hp, base_dir=base)
+    b = next(ds.train_batches(seed=0))
+    assert b['mel_targets'].dtype == np.float16
+    assert b['stop_token_targets'].dtype == np.float16
+    if 'linear_targets' in b:
+        assert b['linear_targets'].dtype == np.float16
+    assert b['inputs'].dtype == np.int32  # integer arrays stay exact
+
+
 def test_prefetcher_propagates_and_stops():
     def gen():
         yield 1
