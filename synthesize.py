@@ -11,7 +11,7 @@ import os
 from tacotron2_tpu.config import default_hparams
 from tacotron2_tpu.utils.infolog import log
 
-MODES = ('eval', 'synthesis', 'live')
+MODES = ('eval', 'synthesis', 'live', 'stream')
 MODELS = ('Tacotron', 'WaveNet', 'Tacotron-2')
 
 
@@ -34,6 +34,38 @@ def synthesize(args, hparams, taco_checkpoint, wave_checkpoint, sentences):
     from tacotron2_tpu.inference.wavenet_synthesizer import wavenet_synthesize
     wavenet_synthesize(args, hparams, wave_checkpoint, wavenet_in_dir)
     log('End-to-end synthesis done.')
+
+
+def stream_synthesize(args, hparams, taco_checkpoint, wave_checkpoint, sentences):
+    """Streaming two-stage synthesis: waveform chunks yielded while the vocoder
+    is still generating (state-carried AR kernel). Writes one wav per sentence
+    and logs the time-to-first-audio per utterance."""
+    import time
+
+    import numpy as np
+
+    from tacotron2_tpu.inference.streaming import StreamingSynthesizer
+    from tacotron2_tpu.ops import audio
+
+    out_dir = os.path.join(args.output_dir, 'stream')
+    os.makedirs(out_dir, exist_ok=True)
+    synth = StreamingSynthesizer().load(taco_checkpoint, wave_checkpoint, hparams)
+    for i, text in enumerate(sentences):
+        t0 = time.time()
+        chunks = []
+        for j, chunk in enumerate(synth.stream(text, seed=i)):
+            if j == 0:
+                log('sentence {}: first audio chunk ({} samples, {:.2f} s of audio) '
+                    'after {:.3f} s'.format(i, len(chunk),
+                                            len(chunk) / hparams.sample_rate,
+                                            time.time() - t0))
+            chunks.append(chunk)
+        wav = np.concatenate(chunks)
+        log('sentence {}: {:.2f} s of audio in {:.3f} s wall ({} chunks)'.format(
+            i, len(wav) / hparams.sample_rate, time.time() - t0, len(chunks)))
+        audio.save_wav(wav, os.path.join(out_dir, f'stream-{i}.wav'),
+                       sr=hparams.sample_rate)
+    log('streaming synthesis done: {}'.format(out_dir))
 
 
 def _log_dir(base_dir, name):
@@ -84,6 +116,8 @@ def main():
     if args.mode == 'live' and args.model != 'Tacotron':
         # Autoregressive vocoding adds seconds of latency; live REPL is mel+GL only.
         raise ValueError('live mode is Tacotron-only (Griffin-Lim playback)')
+    if args.mode == 'stream' and args.model != 'Tacotron-2':
+        raise ValueError('stream mode needs both stages (--model=Tacotron-2)')
 
     hparams = default_hparams()
     hparams.parse(args.hparams)
@@ -106,6 +140,8 @@ def main():
     elif args.model == 'WaveNet':
         from tacotron2_tpu.inference.wavenet_synthesizer import wavenet_synthesize
         wavenet_synthesize(args, hparams, wave_pretrained, args.mels_dir)
+    elif args.mode == 'stream':
+        stream_synthesize(args, hparams, taco_pretrained, wave_pretrained, sentences)
     else:
         synthesize(args, hparams, taco_pretrained, wave_pretrained, sentences)
 
