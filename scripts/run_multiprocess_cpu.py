@@ -71,6 +71,14 @@ def write_corpus(base: str, n: int = 32) -> str:
 
 def run_child(args) -> int:
     """One training process. --child-id >=0: join the distributed runtime."""
+    if args.local_devices > 1 and args.child_id >= 0:
+        # the reference run (child-id -1) stays a true 1-device job, so parity is
+        # proven against the strongest baseline: N procs x K devices vs 1 x 1
+        flags = os.environ.get('XLA_FLAGS', '')
+        if '--xla_force_host_platform_device_count' not in flags:
+            os.environ['XLA_FLAGS'] = (
+                flags +
+                f' --xla_force_host_platform_device_count={args.local_devices}').strip()
     import jax
     jax.config.update('jax_platforms', 'cpu')  # never touch a TPU tunnel here
     if args.child_id >= 0:
@@ -78,6 +86,7 @@ def run_child(args) -> int:
                                    num_processes=args.nprocs,
                                    process_id=args.child_id)
         assert jax.process_count() == args.nprocs, jax.process_count()
+        assert jax.local_device_count() == args.local_devices
         name = f'mp-p{args.child_id}'
     else:
         assert jax.process_count() == 1
@@ -89,6 +98,11 @@ def run_child(args) -> int:
 
     hp = default_hparams()
     hp.parse(TINY_HPARAMS)
+    if args.child_id >= 0 and args.local_devices > 1:
+        # hosts-as-slices: the hybrid slice-major mesh layout puts this process's
+        # devices on a contiguous data-axis block, so the gradient all-reduce is
+        # the only collective crossing process (DCN-analog) boundaries
+        hp.mesh_num_slices = args.nprocs
     log_dir = os.path.join(args.workdir, f'logs-{name}')
     os.makedirs(log_dir, exist_ok=True)
     infolog.init(os.path.join(log_dir, 'Terminal_train_log'), name, None)
@@ -136,6 +150,7 @@ def orchestrate(args) -> int:
     env.pop('XLA_FLAGS', None)  # 1 local device per process
     base_cmd = [sys.executable, os.path.abspath(__file__),
                 '--steps', str(args.steps), '--nprocs', str(args.nprocs),
+                '--local-devices', str(args.local_devices),
                 '--workdir', workdir]
 
     t0 = time.time()
@@ -146,12 +161,21 @@ def orchestrate(args) -> int:
     port = free_port()
     print(f'[mp] launching {args.nprocs} distributed processes '
           f'(coordinator localhost:{port})...', flush=True)
+    child_logs = [open(os.path.join(workdir, f'child-{i}.err'), 'w')
+                  for i in range(args.nprocs)]
     procs = [subprocess.Popen(base_cmd + ['--child-id', str(i), '--port', str(port)],
-                              env=env, cwd=workdir)
-             for i in range(args.nprocs)]
+                              env=env, cwd=workdir, stderr=log)
+             for i, log in zip(range(args.nprocs), child_logs)]
     deadline = time.time() + args.timeout
     codes = [p.wait(timeout=max(1, deadline - time.time())) for p in procs]
-    assert all(c == 0 for c in codes), f'distributed child exit codes: {codes}'
+    for log in child_logs:
+        log.close()
+    if any(c != 0 for c in codes):
+        for i in range(args.nprocs):
+            with open(os.path.join(workdir, f'child-{i}.err')) as f:
+                tail = f.read()[-2000:]
+            print(f'--- child {i} stderr tail ---\n{tail}', file=sys.stderr)
+        raise AssertionError(f'distributed child exit codes: {codes}')
 
     sp = parse_losses(os.path.join(workdir, 'logs-sp', 'Terminal_train_log'))
     mp = parse_losses(os.path.join(workdir, 'logs-mp-p0', 'Terminal_train_log'))
@@ -161,11 +185,14 @@ def orchestrate(args) -> int:
         head = f.read()
     m = re.search(r'process 0/(\d+) local_devices=(\d+) global_devices=(\d+)', head)
     assert m is not None, 'no process-evidence line in the multi-process log'
-    assert int(m.group(1)) == args.nprocs and int(m.group(3)) == args.nprocs, m.group(0)
+    assert (int(m.group(1)) == args.nprocs
+            and int(m.group(2)) == args.local_devices
+            and int(m.group(3)) == args.nprocs * args.local_devices), m.group(0)
     ok = np.allclose(sp, mp, rtol=2e-3, atol=2e-4)
     result = {
         'ok': bool(ok),
         'nprocs': args.nprocs,
+        'local_devices': args.local_devices,
         'steps': args.steps,
         'single_process_losses': sp,
         'multi_process_losses': mp,
@@ -190,6 +217,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--steps', type=int, default=8)
     p.add_argument('--nprocs', type=int, default=2)
+    p.add_argument('--local-devices', type=int, default=1, dest='local_devices',
+                   help='virtual CPU devices per process (>1 = hosts-as-slices: '
+                        'a multi-slice DCN-analog topology over localhost TCP)')
     p.add_argument('--workdir', default=None)
     p.add_argument('--json-out', default=None)
     p.add_argument('--timeout', type=int, default=1200)

@@ -230,6 +230,10 @@ class Hparams:
     # --- TPU-native additions (no reference analog; replaces §2.9/§2.10 tower DP) ---
     mesh_data_axis: int = -1          # -1 = use all available devices on the data axis
     mesh_model_axis: int = 1          # model-parallel axis size (WaveNet channel sharding)
+    mesh_num_slices: int = 0          # multi-slice: 0 = auto-detect from device slice_index;
+                                      # >1 forces a slice-major (DCN-aware) mesh layout —
+                                      # data-parallel traffic crosses slices over DCN, the
+                                      # model axis stays inside one slice's ICI
     compute_dtype: str = 'bfloat16'   # activations dtype on TPU ('float32' to disable)
     transfer_dtype: str = 'float32'   # host->device wire dtype for float batch arrays
                                       # ('float16' halves feed bandwidth; targets are

@@ -19,12 +19,47 @@ DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
 
+def detect_num_slices(devices) -> int:
+    """Number of TPU slices spanned by `devices` (1 when the attribute is absent —
+    CPU/GPU, single-slice TPU, or older jax)."""
+    slices = {getattr(d, 'slice_index', None) for d in devices}
+    slices.discard(None)
+    return max(1, len(slices))
+
+
+def _hybrid_device_array(devices, data: int, model: int, num_slices: int):
+    """Slice-major (data, model) device layout for a multi-slice job.
+
+    The data axis's outer dimension walks across slices so gradient all-reduce
+    (the only cross-slice traffic under pure-DP-over-DCN) is the collective that
+    rides DCN, while each model-axis group sits inside one slice's ICI. With real
+    slice_index attributes we defer to mesh_utils.create_hybrid_device_mesh (which
+    also optimizes the intra-slice ICI order); without them (simulation, CPU) the
+    devices are grouped contiguously into `num_slices` equal slices.
+    """
+    if data % num_slices != 0:
+        raise ValueError(f'data axis {data} not divisible by {num_slices} slices')
+    per_slice_data = data // num_slices
+    # defer to mesh_utils only when the hardware actually reports num_slices
+    # distinct slices (CPU backends may expose slice_index but report one slice)
+    if detect_num_slices(devices) == num_slices:
+        from jax.experimental import mesh_utils
+        return mesh_utils.create_hybrid_device_mesh(
+            (per_slice_data, model), (num_slices, 1), devices=devices)
+    # simulation fallback: contiguous groups stand in for slices (this matches
+    # real pods' process-major device order, minus the ICI-topology optimization)
+    arr = np.asarray(devices).reshape(num_slices, per_slice_data, model)
+    return arr.reshape(data, model)
+
+
 def make_mesh(hp: Optional[Hparams] = None, devices=None) -> Mesh:
     """Build a ('data', 'model') mesh.
 
     By default all devices go on the data axis (the reference is DP-only); setting
     hp.mesh_model_axis > 1 carves a model-parallel dimension for WaveNet channel
-    sharding.
+    sharding. Multi-slice jobs (hp.mesh_num_slices > 1, or auto-detected from
+    device slice_index) get a DCN-aware slice-major layout: the model axis never
+    crosses a slice boundary.
     """
     if devices is None:
         devices = jax.devices()
@@ -33,7 +68,16 @@ def make_mesh(hp: Optional[Hparams] = None, devices=None) -> Mesh:
     data = hp.mesh_data_axis if (hp is not None and hp.mesh_data_axis > 0) else n // model
     if data * model != n:
         raise ValueError(f'mesh {data}x{model} does not cover {n} devices')
-    dev_array = np.asarray(devices).reshape(data, model)
+    num_slices = (hp.mesh_num_slices if hp is not None and hp.mesh_num_slices > 0
+                  else detect_num_slices(devices))
+    if num_slices > 1:
+        if (n // num_slices) % model != 0:
+            raise ValueError(
+                f'model axis {model} does not fit inside one slice of '
+                f'{n // num_slices} devices (model parallelism must stay on ICI)')
+        dev_array = _hybrid_device_array(devices, data, model, num_slices)
+    else:
+        dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -302,7 +302,7 @@ def generate_data_parallel(params, hp: Hparams, rng: jax.Array, c: jnp.ndarray,
 
     Requires c.shape[0] divisible by the data-axis size and a kernel-supported config.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..ops.pallas import wavenet_ar
@@ -329,7 +329,7 @@ def generate_data_parallel(params, hp: Hparams, rng: jax.Array, c: jnp.ndarray,
     fn = shard_map(per_shard, mesh=mesh,
                    in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
                    out_specs=(P(mesh_lib.DATA_AXIS), P(mesh_lib.DATA_AXIS)),
-                   check_rep=False)
+                   check_vma=False)
     audio, dist_params = jax.jit(fn)(params, c, rng)
     return dict(audio=audio, params=dist_params)
 

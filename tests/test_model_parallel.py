@@ -95,3 +95,52 @@ def test_data_parallel_generation():
     assert np.isfinite(np.asarray(out['audio'])).all()
     # each shard ran on its own device
     assert len({s.device for s in out['audio'].addressable_shards}) == 4
+
+
+def test_hybrid_multislice_mesh_layout():
+    """mesh_num_slices>1 must produce a slice-major layout: the model axis stays
+    inside one slice (ICI), the data axis's outer dim walks across slices (DCN)."""
+    hp = default_hparams()
+    hp.parse(TINY)
+    hp.mesh_model_axis = 2
+    hp.mesh_data_axis = 4
+    hp.mesh_num_slices = 2
+    mesh = mesh_lib.make_mesh(hp)
+    assert dict(mesh.shape) == {'data': 4, 'model': 2}
+    # contiguous-group simulation: devices 0-3 stand in for slice 0, 4-7 slice 1
+    ids = np.array([[d.id for d in row] for row in mesh.devices])
+    slice_of = ids // 4
+    # every model-axis row lives inside one slice
+    assert all(len(set(row)) == 1 for row in slice_of), slice_of
+    # the data axis crosses slices: first half slice 0, second half slice 1
+    assert list(slice_of[:, 0]) == [0, 0, 1, 1], slice_of
+
+    # model axis wider than a slice must be rejected (TP may not cross DCN)
+    hp_bad = default_hparams()
+    hp_bad.parse(TINY)
+    hp_bad.mesh_model_axis = 8
+    hp_bad.mesh_data_axis = 1
+    hp_bad.mesh_num_slices = 2
+    with pytest.raises(ValueError, match='inside one slice'):
+        mesh_lib.make_mesh(hp_bad)
+
+
+def test_hybrid_multislice_train_step_parity():
+    """TP+DP train step on a 2-slice hybrid mesh matches the single-device step."""
+    hp = default_hparams()
+    hp.parse(TINY)
+    hp.mesh_model_axis = 2
+    hp.mesh_data_axis = 4
+    hp.mesh_num_slices = 2
+    batch = make_batch(hp)
+    state = wt.create_train_state(hp, jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(1)
+    from functools import partial
+    _, ref_metrics = jax.jit(partial(wt.train_step, hp=hp))(state, batch, rng)
+
+    mesh = mesh_lib.make_mesh(hp)
+    state_tp = shard_wavenet_state(state, mesh, wt.make_optimizer(hp))
+    sb = mesh_lib.shard_batch(batch, mesh)
+    _, metrics = wt.make_tp_train_step(hp, mesh)(state_tp, sb, rng)
+    np.testing.assert_allclose(float(metrics['loss']), float(ref_metrics['loss']),
+                               rtol=1e-4)
