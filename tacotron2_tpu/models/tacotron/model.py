@@ -237,9 +237,10 @@ class Tacotron(nn.Module):
             else:
                 zkeep = 1.0 - hp.tacotron_zoneout_rate
                 zks = jax.random.split(self.make_rng('zoneout'), 4)
+                # bool keep-gates: half the HBM traffic of bf16 masks; the fused
+                # scan converts per step (exact — gates are 0/1)
                 zo = tuple(jax.random.bernoulli(
-                    k, zkeep, (T_steps, B, hp.decoder_lstm_units)
-                ).astype(self.dtype) for k in zks)
+                    k, zkeep, (T_steps, B, hp.decoder_lstm_units)) for k in zks)
             frames, stop_logits, alignments = fd.decoder_scan(
                 cfg, dec_params, keys, values, attn_mask,
                 teacher_frames, use_teacher.astype(jnp.float32), m1, m2, zo)

@@ -28,7 +28,18 @@ Stochasticity (always-on prenet dropout, zoneout) enters as pre-sampled mask
 arrays, so the function itself is deterministic and the VJP exact. The zoneout
 train form `(1-z)*dropout(new-old, z) + old` algebraically reduces to
 `where(mask, new, old)` (the (1-z) and 1/keep factors cancel), so train mode passes
-bernoulli keep-gates and eval mode passes the (1-z) expectation scalar.
+bernoulli keep-gates and eval mode passes the (1-z) expectation scalar. Keep-gates
+may be passed as bool arrays (half the HBM traffic of bf16, no scale fusion at
+generation); they are converted to the compute dtype per scan step, which XLA
+fuses into the consuming ops.
+
+HBM discipline (what the round-3 B=64 trace showed matters, docs/round3):
+  - dz1/dz2 are emitted in the compute dtype, not f32 — they feed bf16-input
+    dW einsums and dbias reductions anyway; f32 emits were 2x2.1 GB round trips;
+  - dkeys is accumulated in the reverse-scan carry ((B,T_in,D) f32) instead of
+    emitting a (T,B,T_in,D) buffer (1 GB at full size) plus init + reduce;
+  - the per-step total context gradient is emitted ((B,M_enc), small) so dvalues
+    is one einsum — no post-scan recompute of the projection/gate matmuls.
 
 Scope: teacher-available modes (train / eval / GTA) with 2 prenet layers and
 2 decoder LSTM layers (the reference's fixed architecture); the model falls back to
@@ -139,14 +150,43 @@ def _lstm_bwd(z, c_prev, dh_new, dc_post, a_c):
     return dz, dc_prev
 
 
+# Above this many input positions the banded location matrix (T_in, T_in*F)
+# outgrows its VMEM budget (T_in=256, F=32 → 4 MB bf16) and the per-step conv
+# form is used instead.
+LOC_MATMUL_MAX_T = 256
+
+
+def _loc_matrix(loc_k: jnp.ndarray, T_in: int, dtype) -> jnp.ndarray:
+    """Banded dense (T_in, T_in*F) equivalent of the SAME location conv:
+    conv1d(state)[b, j, f] == (state @ M).reshape(B, T_in, F)[b, j, f].
+
+    Built once per train step (outside the scans) by convolving an identity
+    batch. Turns the per-step C_in=1 conv — which tiles terribly on the MXU and
+    drags layout copies through the scan body — into one MXU matmul against a
+    VMEM-resident operand."""
+    eye = jnp.eye(T_in, dtype=dtype)[:, :, None]
+    m = jax.lax.conv_general_dilated(eye, loc_k, (1,), 'SAME',
+                                     dimension_numbers=('NWC', 'WIO', 'NWC'))
+    return m.reshape(T_in, -1)  # m[s, j*F+f]: weight of state[s] in f[j, f]
+
+
+def _loc_features(cfg: DecoderConfig, W, state_prev):
+    """Location features f (B, T_in, F) from the previous alignment state."""
+    if 'loc_m' in W:
+        B, T_in = state_prev.shape
+        return (state_prev.astype(cfg.dtype) @ W['loc_m']).reshape(
+            B, T_in, -1) + W['loc_b']
+    return jax.lax.conv_general_dilated(
+        state_prev[..., None].astype(cfg.dtype), W['loc_k'], (1,), 'SAME',
+        dimension_numbers=('NWC', 'WIO', 'NWC')) + W['loc_b']
+
+
 def _att_align(cfg: DecoderConfig, W, keys, mask, pq, state_prev):
     """Recomputable attention stage: (pq, prev alignment state) → alignments.
 
     Mirrors LocationSensitiveAttention.__call__ (attention.py:51-101) minus the
     context matmul (handled separately so dvalues can be batched post-scan)."""
-    f = jax.lax.conv_general_dilated(
-        state_prev[..., None].astype(cfg.dtype), W['loc_k'], (1,), 'SAME',
-        dimension_numbers=('NWC', 'WIO', 'NWC')) + W['loc_b']
+    f = _loc_features(cfg, W, state_prev)
     pl = f @ W['l_k']
     u = keys + pq[:, None, :] + pl + W['b_a']       # promotes to f32 (b_a is f32)
     e = jnp.sum(W['v_a'][0] * jnp.tanh(u), axis=2)
@@ -158,10 +198,87 @@ def _att_align(cfg: DecoderConfig, W, keys, mask, pq, state_prev):
     return jax.nn.softmax(e, axis=-1)
 
 
+def _att_bwd(cfg: DecoderConfig, W, keys, mask, pq, state_prev, dalign):
+    """Hand-derived backward of `_att_align` (+ the identity keys path).
+
+    The jax.vjp form of this stage dominated the reverse scan: the C_in=1
+    location-conv transpose, kernel-grad correlation and (F, D) weight grads all
+    lower to MXU-hostile shapes ((B, T_in, 1) / (k, 1, F)) plus layout copies.
+    Here every contraction is an explicit MXU matmul.
+
+    Returns (dpq, dstate, dkeys_t, dloc_k, dloc_b, dl_k, dva, dba); weight grads
+    are per-step contributions in f32 (accumulated in the scan carry).
+    """
+    dt = cfg.dtype
+    B, T_in = state_prev.shape
+    f32 = jnp.float32
+
+    # --- recompute forward (same ops as _att_align) ---
+    f = _loc_features(cfg, W, state_prev)
+    pl = f @ W['l_k']
+    u = keys + pq[:, None, :] + pl + W['b_a']
+    tanh_u = jnp.tanh(u)
+    e = jnp.sum(W['v_a'][0] * tanh_u, axis=2)
+    if mask is not None:
+        e = jnp.where(mask > 0, e, NEG_INF)
+
+    # --- normalization backward ---
+    if cfg.smoothing:
+        sig = jax.nn.sigmoid(e)
+        ssum = jnp.sum(sig, axis=-1, keepdims=True)
+        align = sig / ssum
+        dsig = (dalign - jnp.sum(dalign * align, axis=-1, keepdims=True)) / ssum
+        de = dsig * sig * (1.0 - sig)
+    else:
+        align = jax.nn.softmax(e, axis=-1)
+        de = (dalign - jnp.sum(dalign * align, axis=-1, keepdims=True)) * align
+    if mask is not None:
+        de = jnp.where(mask > 0, de, 0.0)
+
+    # --- energy backward: e = sum(v_a * tanh(u)) ---
+    du = (de[:, :, None] * W['v_a'][0]) * (1.0 - tanh_u * tanh_u)  # (B,T_in,D) f32
+    dva = jnp.sum(de[:, :, None] * tanh_u, axis=(0, 1))[None, :]   # (1, D)
+    dba = jnp.sum(du, axis=(0, 1))                                 # (D,)
+    dpq = jnp.sum(du, axis=1).astype(dt)                           # (B, D)
+    dkeys_t = du                                                   # identity path
+
+    # --- location path: pl = f @ l_k; f = loc(state_prev) ---
+    du_dt = du.astype(dt)
+    df = du_dt @ W['l_k'].T                                        # (B, T_in, F)
+    dl_k = jnp.einsum('bsf,bsd->fd', f, du_dt,
+                      preferred_element_type=f32)
+    dloc_b = jnp.sum(df, axis=(0, 1), dtype=f32)
+    if 'loc_m' in W:
+        dstate = jax.lax.dot_general(
+            df.reshape(B, -1), W['loc_m'],
+            (((1,), (1,)), ((), ()))).astype(f32)                  # (B, T_in)
+    else:
+        # conv-transpose: correlate df with the flipped kernel; explicit padding
+        # mirrors the forward's SAME padding exactly (also for even kernels)
+        K = W['loc_k'].shape[0]
+        pad_lo = (K - 1) // 2
+        k_t = jnp.flip(W['loc_k'], 0).transpose(0, 2, 1)           # (k, F, 1)
+        dstate = jax.lax.conv_general_dilated(
+            df, k_t, (1,), [(K - 1 - pad_lo, pad_lo)],
+            dimension_numbers=('NWC', 'WIO', 'NWC'))[..., 0].astype(f32)
+    # kernel grad: dloc_k[k, 0, f] = sum_{b,j} state_pad[b, j+k] * df[b, j, f]
+    K = W['loc_k'].shape[0]
+    pad_lo = (K - 1) // 2
+    state_pad = jnp.pad(state_prev.astype(dt),
+                        ((0, 0), (pad_lo, K - 1 - pad_lo)))
+    taps = jnp.stack([state_pad[:, k:k + T_in] for k in range(K)])  # (k, B, T_in)
+    dloc_k = jnp.einsum('kbs,bsf->kf', taps, df,
+                        preferred_element_type=f32)[:, None, :]     # (k, 1, F)
+    return dpq, dstate, dkeys_t, dloc_k, dloc_b, dl_k, dva, dba
+
+
 def _step_fwd(cfg: DecoderConfig, W, keys, values, mask, carry, xs):
     c1, h1, c2, h2, ctx, state, prev = carry
     teacher_t, use_t, m1_t, m2_t, ac1, ah1, ac2, ah2 = xs
     dt = cfg.dtype
+    # keep-gates may arrive as bool (half the HBM read of bf16); the convert
+    # fuses into the mixing ops below
+    ac1, ah1, ac2, ah2 = (a.astype(dt) for a in (ac1, ah1, ac2, ah2))
 
     dec_in = jnp.where(use_t > 0, teacher_t, prev)                    # (B, M) f32
     r1 = jax.nn.relu(dec_in.astype(dt) @ W['p1_k'] + W['p1_b'])
@@ -183,7 +300,11 @@ def _step_fwd(cfg: DecoderConfig, W, keys, values, mask, carry, xs):
     pq = x2 @ W['q_k']
     align = _att_align(cfg, W, keys, mask, pq, state)                 # (B, T_in) f32
     new_state = state + align if cfg.cumulate else align
-    ctx_f32 = jnp.einsum('bt,btm->bm', align, values)                 # f32
+    # context matmul in compute dtype with f32 accumulation (avoids an f32 copy
+    # of values living alongside the dt one); align rounds to dt like any other
+    # bf16 matmul operand in production
+    ctx_f32 = jnp.einsum('bt,btm->bm', align.astype(dt), values,
+                         preferred_element_type=jnp.float32)
 
     proj_in = jnp.concatenate([x2, ctx_f32.astype(dt)], axis=-1)
     frames = (proj_in @ W['f_k'] + W['f_b']).astype(jnp.float32)      # (B, M*r)
@@ -206,6 +327,8 @@ def _forward(cfg: DecoderConfig, params, keys, values, mask,
     dt = cfg.dtype
     U = cfg.units
     T_in = keys.shape[1]
+    if T_in <= LOC_MATMUL_MAX_T:
+        W['loc_m'] = _loc_matrix(W['loc_k'], T_in, dt)
 
     if zo is None:
         keep = jnp.asarray(1.0 - cfg.zoneout, dt)
@@ -246,7 +369,7 @@ def decoder_scan(cfg: DecoderConfig, params, keys, values, mask,
         use_teacher: (T,) f32 0/1 coin flips.
         m1, m2: (T, B, prenet*) pre-scaled dropout masks (mask/keep), cfg.dtype.
         zo: None (eval: zoneout expectation) or 4-tuple of (T, B, units) bernoulli
-            keep-gates (train zoneout), cfg.dtype.
+            keep-gates (train zoneout), bool or float.
     Returns: (frames (T,B,M*r) f32, stops (T,B,r) f32, aligns (T,B,T_in) f32).
     """
     out, _ = _forward(cfg, params, keys, values, mask, teacher, use_teacher,
@@ -268,6 +391,15 @@ def _shift1(x, init_val=0.0):
     return jnp.concatenate([jnp.full_like(x[:1], init_val), x[:-1]], axis=0)
 
 
+def _zero_cotangent(a):
+    """Zero cotangent matching JAX's expectation: float arrays get float zeros,
+    bool/int primals (e.g. bool zoneout keep-gates) get float0."""
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        return jnp.zeros_like(a)
+    import numpy as np
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
 def _bwd_rule(cfg, res, g):
     (params, keys, values, mask, teacher, use_teacher, m1, m2, zo,
      frames, aligns, residuals) = res
@@ -281,6 +413,8 @@ def _bwd_rule(cfg, res, g):
     M = cfg.num_mels
     T_in = keys.shape[1]
     D = cfg.attention_dim
+    if T_in <= LOC_MATMUL_MAX_T:
+        W['loc_m'] = _loc_matrix(W['loc_k'], T_in, dt)
 
     if zo is None:
         keep = jnp.asarray(1.0 - cfg.zoneout, dt)
@@ -293,16 +427,15 @@ def _bwd_rule(cfg, res, g):
     c1_prevs = _shift1(c1ps)
     c2_prevs = _shift1(c2ps)
 
-    def att_stage(pq, state_prev, keys_, loc_k, loc_b, l_k, v_a, b_a):
-        Wloc = dict(W, loc_k=loc_k, loc_b=loc_b, l_k=l_k, v_a=v_a, b_a=b_a)
-        return _att_align(cfg, Wloc, keys_, mask, pq, state_prev)
-
     def step_bwd(carry, xs):
-        (dc1, dh1, dc2, dh2, dctx, dprev, dstate,
+        (dc1, dh1, dc2, dh2, dctx, dprev, dstate, dkeys_acc,
          dloc_k, dloc_b, dl_k, dva, dba) = carry
         (gf_t, gs_t, ga_t, r1, r2, z1, z2, x1, x2, c1_prev, c2_prev,
          state_prev, align_t, teacher_t, use_t, m1_t, m2_t,
          ac1, ah1, ac2, ah2) = xs
+        # keep-gates may be bool; exact 0/1 values, so f32 math is unchanged
+        ac1, ah1, ac2, ah2 = (a.astype(jnp.float32)
+                              for a in (ac1, ah1, ac2, ah2))
 
         # projections
         dframes = gf_t.at[:, -M:].add(dprev)                       # (B, M*r) f32
@@ -312,18 +445,19 @@ def _bwd_rule(cfg, res, g):
         dctx_total = dproj[:, U:].astype(jnp.float32) + dctx       # (B, M_enc)
 
         # attention: context matmul backward + recomputed stage vjp
-        dalign = (jnp.einsum('bm,btm->bt', dctx_total,
-                             values.astype(jnp.float32))
+        dalign = (jnp.einsum('bm,btm->bt', dctx_total.astype(dt), values,
+                             preferred_element_type=jnp.float32)
                   + ga_t + (dstate if cfg.cumulate else 0.0))      # (B, T_in) f32
         pq = x2 @ W['q_k']
-        _, att_vjp = jax.vjp(att_stage, pq, state_prev, keys,
-                             W['loc_k'], W['loc_b'], W['l_k'], W['v_a'], W['b_a'])
-        dpq, dstate_c, dkeys_t, dK_t, dKb_t, dWl_t, dva_t, dba_t = att_vjp(dalign)
+        (dpq, dstate_c, dkeys_t, dK_t, dKb_t, dWl_t, dva_t,
+         dba_t) = _att_bwd(cfg, W, keys, mask, pq, state_prev, dalign)
         dstate_next = (dstate if cfg.cumulate else jnp.zeros_like(dstate)) + dstate_c
 
-        # lstm 2 (x2 == h2n)
+        # lstm 2 (x2 == h2n); dz in compute dtype — it feeds the bf16-input dW
+        # einsums / din matmuls and its f32 emit was 2.1 GB of HBM at full size
         dh2n = dx2 + (dpq @ W['q_k'].T) + ah2 * dh2
         dz2, dc2_gates = _lstm_bwd(z2, c2_prev, dh2n, dc2, ac2)
+        dz2 = dz2.astype(dt)
         dc2_next = dc2_gates + (1.0 - ac2) * dc2
         din2 = dz2 @ W['g2_k'].T                                   # (B, U+U)
         dx1 = din2[:, :U]
@@ -332,6 +466,7 @@ def _bwd_rule(cfg, res, g):
         # lstm 1 (x1 == h1n)
         dh1n = dx1 + ah1 * dh1
         dz1, dc1_gates = _lstm_bwd(z1, c1_prev, dh1n, dc1, ac1)
+        dz1 = dz1.astype(dt)
         dc1_next = dc1_gates + (1.0 - ac1) * dc1
         din1 = dz1 @ W['g1_k'].T                                   # (B, p2+M_enc+U)
         dp2 = din1[:, :cfg.prenet2]
@@ -349,15 +484,17 @@ def _bwd_rule(cfg, res, g):
 
         new_carry = (dc1_next, dh1_next, dc2_next, dh2_next, dctx_next,
                      dprev_next, dstate_next,
+                     dkeys_acc + dkeys_t.astype(jnp.float32),
                      dloc_k + dK_t, dloc_b + dKb_t, dl_k + dWl_t,
                      dva + dva_t, dba + dba_t)
         emits = (dz1, dz2, dpq, dp1pre, dp2pre, dframes,
-                 dkeys_t.astype(dt), dteacher_t)
+                 dctx_total.astype(dt), dteacher_t)
         return new_carry, emits
 
     zero = lambda *s: jnp.zeros(s, jnp.float32)
     init = (zero(B, U), zero(B, U), zero(B, U), zero(B, U),
             zero(B, values.shape[-1]), zero(B, M), zero(B, T_in),
+            zero(B, T_in, D),
             jnp.zeros_like(W['loc_k'], jnp.float32),
             jnp.zeros_like(W['loc_b'], jnp.float32),
             jnp.zeros_like(W['l_k'], jnp.float32),
@@ -369,9 +506,9 @@ def _bwd_rule(cfg, res, g):
           m1, m2, ac1s, ah1s, ac2s, ah2s)
     final, emits = jax.lax.scan(step_bwd, init, xs, reverse=True,
                                 unroll=cfg.unroll)
-    (dc1_0, dh1_0, dc2_0, dh2_0, dctx_0, dprev_0, dstate_0,
+    (dc1_0, dh1_0, dc2_0, dh2_0, dctx_0, dprev_0, dstate_0, dkeys_acc,
      dloc_k, dloc_b, dl_k, dva, dba) = final
-    dz1s, dz2s, dpqs, dp1pres, dp2pres, dframes_s, dkeys_s, dteacher = emits
+    dz1s, dz2s, dpqs, dp1pres, dp2pres, dframes_s, dctx_totals, dteacher = emits
 
     # ---- deferred weight gradients: big dense matmuls over the whole sequence ----
     f32 = jnp.float32
@@ -405,21 +542,11 @@ def _bwd_rule(cfg, res, g):
     dW_p2 = ein('tbi,tbo->io', p1s, dp2pres)
     db_p2 = dp2pres.astype(f32).sum((0, 1))
 
-    dkeys = dkeys_s.astype(f32).sum(0)                             # (B, T_in, D)
+    dkeys = dkeys_acc                                              # (B, T_in, D)
 
-    # dvalues: ctx_t = align_t @ values. Total per-step dctx was consumed inside
-    # the scan; rebuild it exactly like the scan did: proj slice + carried din1
-    # slice from step t+1.
-    dproj_full = (dframes_s.astype(dt) @ W['f_k'].T
-                  + g_stops.astype(dt) @ W['s_k'].T)
-    dctx_proj = dproj_full[:, :, U:].astype(f32)
-    din1_ctx = (dz1s @ W['g1_k'].T)[:, :, cfg.prenet2:cfg.prenet2
-                                    + values.shape[-1]].astype(f32)
-    # step t's ctx feeds x0 at t+1: shift the din1 slice back by one
-    dctx_from_next = jnp.concatenate([din1_ctx[1:], jnp.zeros_like(din1_ctx[:1])],
-                                     axis=0)
-    dctx_total_s = dctx_proj + dctx_from_next
-    dvalues = ein('tbs,tbm->bsm', aligns.astype(dt), dctx_total_s.astype(dt))
+    # dvalues: ctx_t = align_t @ values; the per-step total context gradient
+    # (proj slice + next step's gate-input slice) was emitted by the scan.
+    dvalues = ein('tbs,tbm->bsm', aligns.astype(dt), dctx_totals)
 
     dparams = {
         'prenet': {'dense_1': {'kernel': dW_p1, 'bias': db_p1},
@@ -442,7 +569,7 @@ def _bwd_rule(cfg, res, g):
         {k: params[k] for k in dparams})
 
     dmask = None if mask is None else jnp.zeros_like(mask)
-    dzo = None if zo is None else tuple(jnp.zeros_like(a) for a in zo)
+    dzo = None if zo is None else tuple(_zero_cotangent(a) for a in zo)
     return (dparams, dkeys.astype(keys.dtype), dvalues.astype(values.dtype),
             dmask, dteacher, jnp.zeros_like(use_teacher),
             jnp.zeros_like(m1), jnp.zeros_like(m2), dzo)
