@@ -150,10 +150,11 @@ def _lstm_bwd(z, c_prev, dh_new, dc_post, a_c):
     return dz, dc_prev
 
 
-# Above this many input positions the banded location matrix (T_in, T_in*F)
-# outgrows its VMEM budget (T_in=256, F=32 → 4 MB bf16) and the per-step conv
-# form is used instead.
-LOC_MATMUL_MAX_T = 256
+# VMEM byte budget for the banded location matrices. Above it the per-step conv
+# form is used instead (loc_m: (T_in, T_in*F) — covers T_in ≤ 362 bf16 at the
+# default F=32; loc_n additionally folds l_k: (T_in, T_in*D) — T_in ≤ 181 at
+# D=128).
+LOC_MAT_BYTES = 8 * 1024 * 1024
 
 
 def _loc_matrix(loc_k: jnp.ndarray, T_in: int, dtype) -> jnp.ndarray:
@@ -170,6 +171,27 @@ def _loc_matrix(loc_k: jnp.ndarray, T_in: int, dtype) -> jnp.ndarray:
     return m.reshape(T_in, -1)  # m[s, j*F+f]: weight of state[s] in f[j, f]
 
 
+def _augment_loc_weights(W: Dict, cfg: DecoderConfig, T_in: int,
+                         B: int) -> Dict:
+    """Attach the banded location matrices that fit the VMEM budget.
+
+    loc_m replaces the per-step C_in=1 conv with one MXU matmul; loc_n
+    additionally folds the (F, D) location layer in, so the scan body computes
+    pl = state @ loc_n directly — no (B, T_in, F) intermediate at all (f is
+    only rebuilt in the backward for the location-layer weight grad). loc_n is
+    skipped at large batch: measured on v5e, the extra VMEM-resident matrix
+    wins at B≤64 (full size: −3.5 ms/step) but regresses B=128 (+5 ms —
+    activation slabs already fill VMEM there)."""
+    isz = jnp.dtype(cfg.dtype).itemsize
+    if T_in * T_in * cfg.attention_filters * isz <= LOC_MAT_BYTES:
+        W['loc_m'] = _loc_matrix(W['loc_k'], T_in, cfg.dtype)
+        if B <= 96 and T_in * T_in * cfg.attention_dim * isz <= LOC_MAT_BYTES:
+            W['loc_n'] = (W['loc_m'].reshape(T_in, T_in, -1)
+                          @ W['l_k']).reshape(T_in, -1)
+            W['pl_b'] = W['loc_b'] @ W['l_k']                  # (D,)
+    return W
+
+
 def _loc_features(cfg: DecoderConfig, W, state_prev):
     """Location features f (B, T_in, F) from the previous alignment state."""
     if 'loc_m' in W:
@@ -181,13 +203,21 @@ def _loc_features(cfg: DecoderConfig, W, state_prev):
         dimension_numbers=('NWC', 'WIO', 'NWC')) + W['loc_b']
 
 
+def _loc_pl(cfg: DecoderConfig, W, state_prev):
+    """Location-layer projection pl (B, T_in, D)."""
+    if 'loc_n' in W:
+        B, T_in = state_prev.shape
+        return (state_prev.astype(cfg.dtype) @ W['loc_n']).reshape(
+            B, T_in, -1) + W['pl_b']
+    return _loc_features(cfg, W, state_prev) @ W['l_k']
+
+
 def _att_align(cfg: DecoderConfig, W, keys, mask, pq, state_prev):
     """Recomputable attention stage: (pq, prev alignment state) → alignments.
 
     Mirrors LocationSensitiveAttention.__call__ (attention.py:51-101) minus the
     context matmul (handled separately so dvalues can be batched post-scan)."""
-    f = _loc_features(cfg, W, state_prev)
-    pl = f @ W['l_k']
+    pl = _loc_pl(cfg, W, state_prev)
     u = keys + pq[:, None, :] + pl + W['b_a']       # promotes to f32 (b_a is f32)
     e = jnp.sum(W['v_a'][0] * jnp.tanh(u), axis=2)
     if mask is not None:
@@ -198,24 +228,52 @@ def _att_align(cfg: DecoderConfig, W, keys, mask, pq, state_prev):
     return jax.nn.softmax(e, axis=-1)
 
 
+def _loc_acc_init(cfg: DecoderConfig, W, T_in: int) -> jnp.ndarray:
+    """Zero accumulator for the location-kernel gradient (shape is tier-specific:
+    the banded-matrix tiers accumulate the full dense dloc_m and extract the
+    band diagonals once after the scan; the conv tier accumulates (k,1,F))."""
+    if 'loc_m' in W:
+        return jnp.zeros((T_in, T_in * cfg.attention_filters), jnp.float32)
+    return jnp.zeros_like(W['loc_k'], jnp.float32)
+
+
+def _loc_acc_finalize(cfg: DecoderConfig, W, loc_acc: jnp.ndarray) -> jnp.ndarray:
+    """Reduce the accumulated location gradient to dloc_k (k, 1, F)."""
+    if 'loc_m' not in W:
+        return loc_acc
+    K = W['loc_k'].shape[0]
+    F = cfg.attention_filters
+    T_in = loc_acc.shape[0]
+    pad_lo = (K - 1) // 2
+    # dloc_k[k, f] = sum_j dloc_m[j + k - pad_lo, j, f] (band diagonals)
+    s_pad = jnp.pad(loc_acc.reshape(T_in, T_in, F),
+                    ((pad_lo, K - 1 - pad_lo), (0, 0), (0, 0)))
+    flat = s_pad.reshape(-1, F)
+    j = jnp.arange(T_in)
+    idx = (j[None, :] + jnp.arange(K)[:, None]) * T_in + j[None, :]  # (k, T_in)
+    return flat[idx].sum(1)[:, None, :]                              # (k, 1, F)
+
+
 def _att_bwd(cfg: DecoderConfig, W, keys, mask, pq, state_prev, dalign):
     """Hand-derived backward of `_att_align` (+ the identity keys path).
 
     The jax.vjp form of this stage dominated the reverse scan: the C_in=1
     location-conv transpose, kernel-grad correlation and (F, D) weight grads all
     lower to MXU-hostile shapes ((B, T_in, 1) / (k, 1, F)) plus layout copies.
-    Here every contraction is an explicit MXU matmul.
+    Here every contraction is an explicit 2-D MXU matmul; the location-kernel
+    gradient is accumulated as the dense dloc_m (band extracted post-scan), so
+    no (k, ...) shaped op appears in the scan body at all.
 
-    Returns (dpq, dstate, dkeys_t, dloc_k, dloc_b, dl_k, dva, dba); weight grads
-    are per-step contributions in f32 (accumulated in the scan carry).
+    Returns (dpq, dstate, dkeys_t, dloc_acc_t, dloc_b, dl_k, dva, dba); weight
+    grads are per-step contributions in f32 (accumulated in the scan carry).
     """
     dt = cfg.dtype
     B, T_in = state_prev.shape
     f32 = jnp.float32
+    dot = partial(jax.lax.dot_general, preferred_element_type=f32)
 
     # --- recompute forward (same ops as _att_align) ---
-    f = _loc_features(cfg, W, state_prev)
-    pl = f @ W['l_k']
+    pl = _loc_pl(cfg, W, state_prev)
     u = keys + pq[:, None, :] + pl + W['b_a']
     tanh_u = jnp.tanh(u)
     e = jnp.sum(W['v_a'][0] * tanh_u, axis=2)
@@ -243,15 +301,17 @@ def _att_bwd(cfg: DecoderConfig, W, keys, mask, pq, state_prev, dalign):
     dkeys_t = du                                                   # identity path
 
     # --- location path: pl = f @ l_k; f = loc(state_prev) ---
-    du_dt = du.astype(dt)
-    df = du_dt @ W['l_k'].T                                        # (B, T_in, F)
-    dl_k = jnp.einsum('bsf,bsd->fd', f, du_dt,
-                      preferred_element_type=f32)
-    dloc_b = jnp.sum(df, axis=(0, 1), dtype=f32)
-    if 'loc_m' in W:
-        dstate = jax.lax.dot_general(
-            df.reshape(B, -1), W['loc_m'],
-            (((1,), (1,)), ((), ()))).astype(f32)                  # (B, T_in)
+    du2 = du.astype(dt).reshape(B * T_in, -1)                      # (B*T_in, D)
+    f2 = _loc_features(cfg, W, state_prev).reshape(B * T_in, -1)   # (B*T_in, F)
+    dl_k = dot(f2, du2, (((0,), (0,)), ((), ())))                  # (F, D)
+    df2 = du2 @ W['l_k'].T                                         # (B*T_in, F)
+    dloc_b = jnp.sum(df2, axis=0, dtype=f32)
+    if 'loc_n' in W:
+        dstate = dot(du2.reshape(B, -1), W['loc_n'],
+                     (((1,), (1,)), ((), ())))                     # (B, T_in)
+    elif 'loc_m' in W:
+        dstate = dot(df2.reshape(B, -1), W['loc_m'],
+                     (((1,), (1,)), ((), ())))
     else:
         # conv-transpose: correlate df with the flipped kernel; explicit padding
         # mirrors the forward's SAME padding exactly (also for even kernels)
@@ -259,17 +319,23 @@ def _att_bwd(cfg: DecoderConfig, W, keys, mask, pq, state_prev, dalign):
         pad_lo = (K - 1) // 2
         k_t = jnp.flip(W['loc_k'], 0).transpose(0, 2, 1)           # (k, F, 1)
         dstate = jax.lax.conv_general_dilated(
-            df, k_t, (1,), [(K - 1 - pad_lo, pad_lo)],
+            df2.reshape(B, T_in, -1), k_t, (1,), [(K - 1 - pad_lo, pad_lo)],
             dimension_numbers=('NWC', 'WIO', 'NWC'))[..., 0].astype(f32)
-    # kernel grad: dloc_k[k, 0, f] = sum_{b,j} state_pad[b, j+k] * df[b, j, f]
-    K = W['loc_k'].shape[0]
-    pad_lo = (K - 1) // 2
-    state_pad = jnp.pad(state_prev.astype(dt),
-                        ((0, 0), (pad_lo, K - 1 - pad_lo)))
-    taps = jnp.stack([state_pad[:, k:k + T_in] for k in range(K)])  # (k, B, T_in)
-    dloc_k = jnp.einsum('kbs,bsf->kf', taps, df,
-                        preferred_element_type=f32)[:, None, :]     # (k, 1, F)
-    return dpq, dstate, dkeys_t, dloc_k, dloc_b, dl_k, dva, dba
+    if 'loc_m' in W:
+        # dense location-matrix grad; band diagonals extracted post-scan
+        dloc_acc_t = dot(state_prev.astype(dt), df2.reshape(B, -1),
+                         (((0,), (0,)), ((), ())))                 # (T_in, T_in*F)
+    else:
+        # dloc_k[k, 0, f] = sum_{b,j} state_pad[b, j+k] * df[b, j, f]
+        K = W['loc_k'].shape[0]
+        pad_lo = (K - 1) // 2
+        state_pad = jnp.pad(state_prev.astype(dt),
+                            ((0, 0), (pad_lo, K - 1 - pad_lo)))
+        taps = jnp.stack([state_pad[:, k:k + T_in]
+                          for k in range(K)])                      # (k, B, T_in)
+        dloc_acc_t = jnp.einsum('kbs,bsf->kf', taps, df2.reshape(B, T_in, -1),
+                                preferred_element_type=f32)[:, None, :]
+    return dpq, dstate.astype(f32), dkeys_t, dloc_acc_t, dloc_b, dl_k, dva, dba
 
 
 def _step_fwd(cfg: DecoderConfig, W, keys, values, mask, carry, xs):
@@ -327,8 +393,7 @@ def _forward(cfg: DecoderConfig, params, keys, values, mask,
     dt = cfg.dtype
     U = cfg.units
     T_in = keys.shape[1]
-    if T_in <= LOC_MATMUL_MAX_T:
-        W['loc_m'] = _loc_matrix(W['loc_k'], T_in, dt)
+    W = _augment_loc_weights(W, cfg, T_in, B)
 
     if zo is None:
         keep = jnp.asarray(1.0 - cfg.zoneout, dt)
@@ -413,8 +478,7 @@ def _bwd_rule(cfg, res, g):
     M = cfg.num_mels
     T_in = keys.shape[1]
     D = cfg.attention_dim
-    if T_in <= LOC_MATMUL_MAX_T:
-        W['loc_m'] = _loc_matrix(W['loc_k'], T_in, dt)
+    W = _augment_loc_weights(W, cfg, T_in, B)
 
     if zo is None:
         keep = jnp.asarray(1.0 - cfg.zoneout, dt)
@@ -429,7 +493,7 @@ def _bwd_rule(cfg, res, g):
 
     def step_bwd(carry, xs):
         (dc1, dh1, dc2, dh2, dctx, dprev, dstate, dkeys_acc,
-         dloc_k, dloc_b, dl_k, dva, dba) = carry
+         dloc_acc, dloc_b, dl_k, dva, dba) = carry
         (gf_t, gs_t, ga_t, r1, r2, z1, z2, x1, x2, c1_prev, c2_prev,
          state_prev, align_t, teacher_t, use_t, m1_t, m2_t,
          ac1, ah1, ac2, ah2) = xs
@@ -485,7 +549,7 @@ def _bwd_rule(cfg, res, g):
         new_carry = (dc1_next, dh1_next, dc2_next, dh2_next, dctx_next,
                      dprev_next, dstate_next,
                      dkeys_acc + dkeys_t.astype(jnp.float32),
-                     dloc_k + dK_t, dloc_b + dKb_t, dl_k + dWl_t,
+                     dloc_acc + dK_t, dloc_b + dKb_t, dl_k + dWl_t,
                      dva + dva_t, dba + dba_t)
         emits = (dz1, dz2, dpq, dp1pre, dp2pre, dframes,
                  dctx_total.astype(dt), dteacher_t)
@@ -495,7 +559,7 @@ def _bwd_rule(cfg, res, g):
     init = (zero(B, U), zero(B, U), zero(B, U), zero(B, U),
             zero(B, values.shape[-1]), zero(B, M), zero(B, T_in),
             zero(B, T_in, D),
-            jnp.zeros_like(W['loc_k'], jnp.float32),
+            _loc_acc_init(cfg, W, T_in),
             jnp.zeros_like(W['loc_b'], jnp.float32),
             jnp.zeros_like(W['l_k'], jnp.float32),
             jnp.zeros_like(W['v_a'], jnp.float32),
@@ -507,7 +571,8 @@ def _bwd_rule(cfg, res, g):
     final, emits = jax.lax.scan(step_bwd, init, xs, reverse=True,
                                 unroll=cfg.unroll)
     (dc1_0, dh1_0, dc2_0, dh2_0, dctx_0, dprev_0, dstate_0, dkeys_acc,
-     dloc_k, dloc_b, dl_k, dva, dba) = final
+     dloc_acc, dloc_b, dl_k, dva, dba) = final
+    dloc_k = _loc_acc_finalize(cfg, W, dloc_acc)
     dz1s, dz2s, dpqs, dp1pres, dp2pres, dframes_s, dctx_totals, dteacher = emits
 
     # ---- deferred weight gradients: big dense matmuls over the whole sequence ----

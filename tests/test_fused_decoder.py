@@ -79,20 +79,25 @@ def test_fused_matches_flax_scan(tfr):
         assert _rel_diff(a, b) < 1e-4, f'grad mismatch at {jax.tree_util.keystr(kp)}'
 
 
-@pytest.mark.parametrize('variant', ['softmax', 'smoothing', 'conv_fallback'])
+@pytest.mark.parametrize('variant',
+                         ['softmax', 'smoothing', 'loc_m_only', 'conv_fallback'])
 def test_custom_vjp_matches_autodiff_stochastic(variant):
     """Stochastic masks on (prenet dropout + train zoneout): hand-written VJP vs
     jax.grad of the identical forward — exact to float tolerance. Covers the
-    smoothing normalization branch and the large-T_in conv fallback of the
-    hand-written attention backward."""
+    smoothing normalization branch and all three location-layer tiers of the
+    hand-written attention backward (loc_n folded matrix / loc_m band matrix /
+    large-T_in conv fallback)."""
     hp = default_hparams()
     hp.parse(TINY + (',smoothing=True' if variant == 'smoothing' else ''))
     T, B, Tin = 6, 2, 10
     U, M = hp.decoder_lstm_units, hp.num_mels
     cfg = fd.config_from_hp(hp, jnp.float32, deterministic=False)
-    saved_max_t = fd.LOC_MATMUL_MAX_T
+    saved_budget = fd.LOC_MAT_BYTES
     if variant == 'conv_fallback':
-        fd.LOC_MATMUL_MAX_T = 0  # force the per-step conv form of the location layer
+        fd.LOC_MAT_BYTES = 0       # force the per-step conv form
+    elif variant == 'loc_m_only':
+        # budget admits loc_m (T*T*F=10*10*8 f32) but not loc_n (T*T*D=10*10*16)
+        fd.LOC_MAT_BYTES = 10 * 10 * 8 * 4
 
     rng = jax.random.PRNGKey(3)
     ks = jax.random.split(rng, 12)
@@ -129,7 +134,7 @@ def test_custom_vjp_matches_autodiff_stochastic(variant):
         g_auto = jax.grad(partial(loss, fd.decoder_scan_reference),
                           argnums=(0, 1, 2, 3))(*args)
     finally:
-        fd.LOC_MATMUL_MAX_T = saved_max_t
+        fd.LOC_MAT_BYTES = saved_budget
     flat_c = jax.tree_util.tree_flatten_with_path(g_custom)[0]
     flat_a = jax.tree_util.tree_flatten_with_path(g_auto)[0]
     assert len(flat_c) == len(flat_a)
