@@ -265,7 +265,10 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                     prev_ref.shape)
             else:
                 prev_ref[:] = jnp.broadcast_to(first_b[:], prev_ref.shape)
-        t_base = seed[1]  # absolute step offset (streaming; 0 on fresh calls)
+        # absolute step offset: 0 on fresh calls — keep it a COMPILE-TIME zero
+        # there, so ring-slot arithmetic stays affine in the loop counters
+        # (a runtime SMEM base measured 2.3x slower: 5.1 -> 11.8 us/step)
+        t_base = seed[1] if has_state else 0
         if big_vocab and not greedy:
             pltpu.prng_seed(seed[0])  # one stream for the whole call
 
@@ -329,7 +332,11 @@ def _make_kernel(hp: Hparams, T: int, B_PAD: int, want_params: bool, has_g: bool
                         val[None].astype(bufs[li].dtype)
 
                 def glu(z):
-                    return jnp.tanh(z[:, :half]) * jax.nn.sigmoid(z[:, half:])
+                    # sigmoid as 0.5+0.5*tanh(y/2): one transcendental-unit op
+                    # instead of exp+reciprocal on the serial sample chain
+                    # (~0.13 us/step at full size, dev_pallas_ar_critpath.py)
+                    c = jnp.asarray(0.5, z.dtype)
+                    return jnp.tanh(z[:, :half]) * (c + c * jnp.tanh(c * z[:, half:]))
 
                 skips = jnp.zeros((B_PAD, S), jnp.float32)
                 if not fused:
