@@ -65,6 +65,23 @@ def _glu_tanhsig(z):
     return jnp.tanh(z[:, :HALF]) * (half_c + half_c * jnp.tanh(half_c * z[:, HALF:]))
 
 
+def _glu_tanhfold(z):
+    # tanh-form sigmoid with the y/2 pre-scale FOLDED INTO THE WEIGHTS feeding
+    # the gate half (free at pack time): the GLU becomes one full-width tanh
+    # plus an fma — the serial 0.5*z multiply disappears from the chain
+    half_c = jnp.asarray(0.5, z.dtype)
+    t = jnp.tanh(z)
+    return t[:, :HALF] * (half_c + half_c * t[:, HALF:])
+
+
+def _glu_tanhfold_bf16out(z):
+    # tanhfold, with the combine in bf16 so the path matmul consumes the GLU
+    # output directly (moves the f32->bf16 cast off the serial chain)
+    half_c = jnp.asarray(0.5, bf16)
+    t = jnp.tanh(z).astype(bf16)
+    return t[:, :HALF] * (half_c + half_c * t[:, HALF:])
+
+
 def build(variant):
 
     def kernel(w_tap, w_os, w_fused, w_cur, w_out, w_skip, cond, out,
@@ -98,7 +115,9 @@ def build(variant):
             return 0
 
         glu = {'fused_bf16glu': _glu_bf16,
-               'fused_tanhsig': _glu_tanhsig}.get(variant, _glu)
+               'fused_tanhsig': _glu_tanhsig,
+               'fused_tanhfold': _glu_tanhfold,
+               'fused_tf_bf16o': _glu_tanhfold_bf16out}.get(variant, _glu)
 
         def step_fused(t, _):
             # const_l: past taps for every layer, computable up front (off path)
@@ -200,5 +219,8 @@ if __name__ == '__main__':
     fused = bench('fused', build('fused'))
     fbf = bench('fused_bf16glu', build('fused_bf16glu'))
     fts = bench('fused_tanhsig', build('fused_tanhsig'))
+    ftf = bench('fused_tanhfold', build('fused_tanhfold'))
+    ftb = bench('fused_tf_bf16o', build('fused_tf_bf16o'))
     print(f'fused speedup: {base / fused:.2f}x   bf16-glu: {base / fbf:.2f}x   '
-          f'tanh-sigmoid: {base / fts:.2f}x')
+          f'tanh-sigmoid: {base / fts:.2f}x   tanhfold: {base / ftf:.2f}x   '
+          f'tanhfold-bf16out: {base / ftb:.2f}x')
