@@ -107,9 +107,11 @@ def build_pipeline(hp, B, T_in, dec_frames, taco_dtype, on_accel):
 def taco_train_throughput(B, Tin=128, Tout=512, n_pipe=8):
     """Training mel-frames/sec at batch B (on-device data, bf16, fused decoder).
 
-    The decoder scan's ~33 MB/step weight traffic is batch-invariant, so frames/s
-    rises superlinearly in B until FLOPs bind — the recommended TPU batch is the
-    largest that fits (128 ≈ 2.6x the frames/s of the reference-parity 32)."""
+    The decoder scan's ~33 MB/step weight traffic is batch-invariant so the scans
+    amortize, but dW einsum FLOPs and O(B·T·C) elementwise/HBM work scale linearly
+    and saturate throughput — measured (docs/round3/RESULTS.md §8): B=64 is 1.27x
+    the frames/s of the reference-parity 32, B=128 only 1.37x for 2x the memory.
+    Recommended TPU batch: 64."""
     from tacotron2_tpu.config import default_hparams
     from tacotron2_tpu.training import tacotron_trainer as tt
 

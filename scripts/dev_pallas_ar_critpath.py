@@ -66,17 +66,22 @@ def _glu_tanhsig(z):
 
 
 def _glu_tanhfold(z):
-    # tanh-form sigmoid with the y/2 pre-scale FOLDED INTO THE WEIGHTS feeding
-    # the gate half (free at pack time): the GLU becomes one full-width tanh
-    # plus an fma — the serial 0.5*z multiply disappears from the chain
+    # tanh-form sigmoid with the y/2 pre-scale FOLDED INTO THE WEIGHTS (free at
+    # pack time): the GLU becomes one full-width tanh plus an fma — the serial
+    # 0.5*z multiply disappears from the chain. NOTE if promoted to the
+    # production kernel: gates = b_term + a_term + consts[li], so EVERY
+    # pre-activation gate-half contributor needs the 0.5 fold — the gate halves
+    # of w_tap, w_cur, w_fused AND the conditioning projection + bias that make
+    # up consts. Scaling only the weight matrices silently breaks numerics.
     half_c = jnp.asarray(0.5, z.dtype)
     t = jnp.tanh(z)
     return t[:, :HALF] * (half_c + half_c * t[:, HALF:])
 
 
 def _glu_tanhfold_bf16out(z):
-    # tanhfold, with the combine in bf16 so the path matmul consumes the GLU
-    # output directly (moves the f32->bf16 cast off the serial chain)
+    # tanhfold, with the combine in bf16: the cast stays on the serial chain
+    # (reordered before the fma, not removed) — the saving is the half-lane-width
+    # bf16 fma/combine, and the downstream zb cast becomes a no-op
     half_c = jnp.asarray(0.5, bf16)
     t = jnp.tanh(z).astype(bf16)
     return t[:, :HALF] * (half_c + half_c * t[:, HALF:])
