@@ -64,6 +64,9 @@ class WaveNetDataset:
             self._audio_pad = int(mulaw_quantize(np.array(0.0), hparams.quantize_channels))
         else:
             self._audio_pad = 0.0
+        # audio lengths are immutable per row; memoized so the per-group sort and
+        # per-batch crop draws don't re-open thousands of npy headers per epoch
+        self._len_cache: Dict[str, int] = {}
 
     def __len__(self):
         return len(self._train_meta)
@@ -118,8 +121,13 @@ class WaveNetDataset:
     def _audio_len(self, meta) -> int:
         """Audio sample count from the npy header (no data read) — lets batch
         composition and crop draws run identically on every host without loading
-        other hosts' rows."""
-        return int(np.load(self._resolve(meta[0], 'audio'), mmap_mode='r').shape[0])
+        other hosts' rows. Cached: lengths never change, and each epoch asks for
+        every row's length several times (group sort + per-batch crop draws)."""
+        length = self._len_cache.get(meta[0])
+        if length is None:
+            length = int(np.load(self._resolve(meta[0], 'audio'), mmap_mode='r').shape[0])
+            self._len_cache[meta[0]] = length
+        return length
 
     def train_batches(self, seed: int = 0, group_batches: int = 64,
                       process_shard=None) -> Iterator[Dict[str, np.ndarray]]:
