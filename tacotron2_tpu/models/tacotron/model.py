@@ -278,10 +278,25 @@ class Tacotron(nn.Module):
             state0 = (init_carry, bufs0, jnp.int32(0))
             if self.is_mutable_collection('params'):
                 state = body_fn(cell, state0)  # init pass: create params, no loop
+                final_carry, (frames, stop_logits, alignments), _ = state
+            elif hp.fused_decoder and fd.supports(hp) and deterministic:
+                # fused free-running scan: same packed-weight step math as the
+                # training fast path (banded location matmuls, hoisted weight
+                # casts, unrolled scan) — the nn.scan cell re-lowers the C_in=1
+                # location conv and per-step Dense applies each step
+                dec_params = self.scope.get_variable('params', 'decoder')
+                cfg = fd.config_from_hp(hp, self.dtype, deterministic)
+                constraint = ((hp.synthesis_constraint_type, hp.attention_win_size)
+                              if hp.synthesis_constraint else None)
+                frames, stop_logits, alignments, finished = fd.synthesis_scan(
+                    cfg, dec_params, keys, values, attn_mask, max_iters, chunk,
+                    hp.tacotron_dropout_rate, self.make_rng('dropout'),
+                    constraint)
+                final_carry = dict(finished=finished)
             else:
                 state = nn.while_loop(cond_fn, body_fn, cell, state0,
                                       split_rngs={'dropout': True, 'zoneout': True})
-            final_carry, (frames, stop_logits, alignments), _ = state
+                final_carry, (frames, stop_logits, alignments), _ = state
 
         # (T_steps, B, M*r) → (B, T_steps*r, M)
         decoder_output = frames.transpose(1, 0, 2).reshape(B, T_steps * r, hp.num_mels)

@@ -649,3 +649,139 @@ def decoder_scan_reference(cfg, params, keys, values, mask, teacher,
     out, _ = _forward(cfg, params, keys, values, mask, teacher, use_teacher,
                       m1, m2, zo)
     return out
+
+
+# ----------------------------------------------------------------------
+# free-running (synthesis) scan
+# ----------------------------------------------------------------------
+
+def _step_synth(cfg: DecoderConfig, W, keys, values, mask, constraint,
+                carry, xs):
+    """One free-running decoder step: same packed-weight math as `_step_fwd`
+    with the model's own last frame fed back (reference TacoTestHelper,
+    helpers.py:6-59), stop-token tracking, and the optional synthesis-time
+    monotonic/window attention constraint (attention.py:201-214). Emits no
+    residuals (no backward pass at synthesis)."""
+    c1, h1, c2, h2, ctx, state, prev, max_att, finished = carry
+    m1_t, m2_t = xs
+    dt = cfg.dtype
+    keep = jnp.asarray(1.0 - cfg.zoneout, dt)
+
+    r1 = jax.nn.relu(prev.astype(dt) @ W['p1_k'] + W['p1_b'])
+    p1 = r1 * m1_t
+    r2 = jax.nn.relu(p1 @ W['p2_k'] + W['p2_b'])
+    p2 = r2 * m2_t
+
+    x0 = jnp.concatenate([p2, ctx], axis=-1)
+    z1 = jnp.concatenate([x0, h1], axis=-1) @ W['g1_k'] + W['g1_b']
+    c1n, x1 = _lstm_fwd(z1, c1)
+    c1p = keep * c1n + (1.0 - keep) * c1
+    h1p = keep * x1 + (1.0 - keep) * h1
+
+    z2 = jnp.concatenate([x1, h2], axis=-1) @ W['g2_k'] + W['g2_b']
+    c2n, x2 = _lstm_fwd(z2, c2)
+    c2p = keep * c2n + (1.0 - keep) * c2
+    h2p = keep * x2 + (1.0 - keep) * h2
+
+    pq = x2 @ W['q_k']
+
+    # attention with the optional synthesis constraint folded into the mask
+    if constraint is None:
+        att_mask = mask
+    else:
+        ctype, win = constraint
+        T_in = keys.shape[1]
+        pos = jnp.arange(T_in)[None, :]
+        if ctype == 'monotonic':
+            before = pos < max_att[:, None]
+            after = pos >= max_att[:, None] + win
+        else:  # window: backward gets the odd extra slot (attention.py:81-86)
+            back = win // 2 + (win % 2 != 0)
+            fwd = win // 2
+            before = pos < max_att[:, None] - back
+            after = pos >= max_att[:, None] + fwd
+        win_mask = (~(before | after)).astype(jnp.float32)
+        att_mask = win_mask if mask is None else mask * win_mask
+    align = _att_align(cfg, W, keys, att_mask, pq, state)             # (B, T_in) f32
+    new_state = state + align if cfg.cumulate else align
+    new_max = jnp.argmax(align, axis=-1).astype(jnp.int32)
+    ctx_f32 = jnp.einsum('bt,btm->bm', align.astype(dt), values,
+                         preferred_element_type=jnp.float32)
+
+    proj_in = jnp.concatenate([x2, ctx_f32.astype(dt)], axis=-1)
+    frames = (proj_in @ W['f_k'] + W['f_b']).astype(jnp.float32)      # (B, M*r)
+    stops = (proj_in @ W['s_k'] + W['s_b']).astype(jnp.float32)       # (B, r)
+
+    stop_prob = jax.nn.sigmoid(stops)
+    hit = (jnp.any(stop_prob > 0.5, axis=-1) if cfg.stop_at_any
+           else jnp.all(stop_prob > 0.5, axis=-1))
+    new_carry = (c1p, h1p, c2p, h2p, ctx_f32.astype(dt), new_state,
+                 frames[:, -cfg.num_mels:], new_max, finished | hit)
+    return new_carry, (frames, stops, align)
+
+
+def synthesis_scan(cfg: DecoderConfig, params, keys, values, mask,
+                   max_iters: int, chunk: int, dropout_rate: float,
+                   dropout_rng, constraint: Optional[Tuple[str, int]] = None):
+    """Free-running decoder: chunked early-exit `lax.while_loop`, each iteration
+    scanning `chunk` fused steps (reference dynamic_decode + TacoTestHelper).
+
+    The always-on prenet dropout (reference modules.py:249) is sampled per chunk
+    inside the loop body (fold_in on the chunk index) so only executed chunks
+    pay for mask generation. Unvisited stop logits are filled with 1e3 ("already
+    stopped") so host length recovery treats them as finished.
+
+    Args:
+        constraint: None, or (constraint_type, win_size) for the synthesis-time
+            attention window (hp.synthesis_constraint).
+    Returns: (frames (T,B,M*r) f32, stops (T,B,r) f32, aligns (T,B,T_in) f32,
+              finished (B,) bool) with T = ceil(max_iters/chunk)*chunk.
+    """
+    W = _weights(params, cfg)
+    B, T_in = keys.shape[0], keys.shape[1]
+    dt = cfg.dtype
+    U = cfg.units
+    W = _augment_loc_weights(W, cfg, T_in, B)
+    n_chunks = -(-max_iters // chunk)
+    T_steps = n_chunks * chunk
+    keep = 1.0 - dropout_rate
+
+    init_carry = (jnp.zeros((B, U), dt), jnp.zeros((B, U), dt),
+                  jnp.zeros((B, U), dt), jnp.zeros((B, U), dt),
+                  jnp.zeros((B, values.shape[-1]), dt),
+                  jnp.zeros((B, T_in), jnp.float32),
+                  jnp.zeros((B, cfg.num_mels), jnp.float32),
+                  jnp.zeros((B,), jnp.int32),
+                  jnp.zeros((B,), bool))
+    bufs0 = (jnp.zeros((T_steps, B, cfg.num_mels * cfg.r), jnp.float32),
+             jnp.full((T_steps, B, cfg.r), 1e3, jnp.float32),
+             jnp.zeros((T_steps, B, T_in), jnp.float32))
+
+    step = partial(_step_synth, cfg, W, keys, values, mask, constraint)
+
+    def body_fn(state):
+        carry, (fb, sb, ab), i = state
+        if keep < 1.0:
+            k1, k2 = jax.random.split(jax.random.fold_in(dropout_rng, i))
+            m1 = jax.random.bernoulli(
+                k1, keep, (chunk, B, W['p1_b'].shape[0])).astype(dt) / keep
+            m2 = jax.random.bernoulli(
+                k2, keep, (chunk, B, W['p2_b'].shape[0])).astype(dt) / keep
+        else:
+            m1 = jnp.ones((chunk, B, W['p1_b'].shape[0]), dt)
+            m2 = jnp.ones((chunk, B, W['p2_b'].shape[0]), dt)
+        carry, (f, s, a) = jax.lax.scan(step, carry, (m1, m2),
+                                        unroll=cfg.unroll)
+        off = i * chunk
+        fb = jax.lax.dynamic_update_slice(fb, f, (off, 0, 0))
+        sb = jax.lax.dynamic_update_slice(sb, s, (off, 0, 0))
+        ab = jax.lax.dynamic_update_slice(ab, a, (off, 0, 0))
+        return carry, (fb, sb, ab), i + 1
+
+    def cond_fn(state):
+        carry, _, i = state
+        return (i < n_chunks) & ~jnp.all(carry[-1])
+
+    carry, (frames, stops, aligns), _ = jax.lax.while_loop(
+        cond_fn, body_fn, (init_carry, bufs0, jnp.int32(0)))
+    return frames, stops, aligns, carry[-1]

@@ -143,6 +143,36 @@ def test_custom_vjp_matches_autodiff_stochastic(variant):
             f'custom-vjp mismatch at {jax.tree_util.keystr(kp)}: {_rel_diff(a, b)}'
 
 
+@pytest.mark.parametrize('constraint', [None, 'window', 'monotonic'])
+def test_fused_synthesis_matches_flax_scan(constraint):
+    """Free-running mode (dropout 0): fused synthesis scan == nn.scan while_loop,
+    including the early-exit chunking, stop fill, and the synthesis-time
+    attention constraint variants."""
+    hp = default_hparams()
+    extra = ',tacotron_dropout_rate=0.0,max_iters=10,decoder_chunk_size=4'
+    if constraint is not None:
+        extra += (',synthesis_constraint=True,attention_win_size=3'
+                  f',synthesis_constraint_type={constraint}')
+    hp.parse(TINY + extra + ',fused_decoder=True')
+    hp_ref = hp.replace(fused_decoder=False)
+    batch = make_batch(hp)
+    state = tt.create_train_state(hp_ref, jax.random.PRNGKey(0), batch)
+    rngs = {'dropout': jax.random.PRNGKey(1)}
+
+    def synth(h):
+        model = Tacotron(h)
+        return model.apply({'params': state.params, 'batch_stats': state.batch_stats},
+                           batch['inputs'], batch['input_lengths'],
+                           mel_targets=None, max_iters=hp.max_iters,
+                           deterministic=True, rngs=rngs)
+
+    of, orr = synth(hp), synth(hp_ref)
+    for k in ('decoder_output', 'mel_outputs', 'stop_token_prediction',
+              'alignments', 'stop_finished'):
+        assert np.abs(np.asarray(of[k], np.float32)
+                      - np.asarray(orr[k], np.float32)).max() < 2e-4, k
+
+
 def test_fused_train_step_loss_decreases():
     """End-to-end: default (fused) train step optimizes."""
     hp = default_hparams()
