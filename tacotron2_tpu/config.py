@@ -214,6 +214,10 @@ class Hparams:
     wavenet_weight_normalization: bool = False
     wavenet_init_scale: float = 1.0
     wavenet_dropout: float = 0.05
+    # rematerialize residual blocks in the train backward pass (TPU analog of the
+    # reference's wavenet_swap_with_cpu host offload, wavenet.py:895): trades
+    # recompute FLOPs (cheap — the step is HBM-bound) for activation traffic
+    wavenet_remat: bool = False
     wavenet_gradient_max_norm: float = 100.0
     wavenet_gradient_max_value: float = 5.0
     max_time_sec: Optional[float] = None

@@ -44,8 +44,15 @@ class WaveNet(nn.Module):
         self.first_conv = Conv1x1(self._in_channels, hp.residual_channels, hp.use_bias,
                                   hp.wavenet_weight_normalization, self.dtype,
                                   name='first_conv')
+        layer_cls = ResidualConv1DGLU
+        if hp.wavenet_remat:
+            # rematerialize each residual block on the backward pass: the train
+            # step is HBM-bound, not FLOPs-bound (docs/round4/RESULTS.md §2), so
+            # recomputing the block can be cheaper than saving its intermediates
+            layer_cls = nn.remat(ResidualConv1DGLU, static_argnums=(4,),
+                                 prevent_cse=False)
         self.residual_layers = [
-            ResidualConv1DGLU(
+            layer_cls(
                 hp.residual_channels, hp.gate_channels, hp.kernel_size,
                 hp.skip_out_channels, hp.cin_channels, hp.gin_channels,
                 hp.wavenet_dropout, 2 ** (i % layers_per_stack), hp.use_bias,

@@ -153,8 +153,23 @@ class ResidualConv1DGLU(nn.Module):
         return jnp.tanh(a) * jax.nn.sigmoid(b)
 
     def _outputs(self, gated, residual):
-        s = self.conv1x1_skip(gated)
-        x = self.conv1x1_out(gated)
+        if self.weight_normalization:
+            # keep the two module calls: the data-dependent init pass captures
+            # each conv's __call__ output to set g/bias (weight_norm_init.py)
+            s = self.conv1x1_skip(gated)
+            x = self.conv1x1_out(gated)
+        else:
+            # one merged matmul for the out+skip projections (they share the
+            # gated input, which two separate 1x1s would stream from HBM twice);
+            # same trick the incremental path uses, and a better MXU shape
+            w = jnp.concatenate([self.conv1x1_out.effective_kernel(),
+                                 self.conv1x1_skip.effective_kernel()], axis=1)
+            y = gated @ w
+            if self.use_bias:
+                y = y + jnp.concatenate([self.conv1x1_out.bias,
+                                         self.conv1x1_skip.bias]).astype(y.dtype)
+            x = y[..., :self.residual_channels]
+            s = y[..., self.residual_channels:]
         if self.residual_legacy:
             x = (x + residual) * float(np.sqrt(0.5))
         else:
@@ -168,7 +183,13 @@ class ResidualConv1DGLU(nn.Module):
         residual = x
         if train and self.dropout > 0:
             keep = 1.0 - self.dropout
-            mask = jax.random.bernoulli(self.make_rng('dropout'), keep, x.shape)
+            # bernoulli via u16 bits instead of u32 (halves the rng-generation and
+            # mask-read HBM traffic — ~20 ms/step of the B=32 train step was
+            # dropout, docs/round4/RESULTS.md §2); keep-prob quantization is
+            # 1/65536 (2e-6 absolute — the b=32 mask shape draws ~45M samples,
+            # so the realized rate difference is far below sampling noise)
+            bits = jax.random.bits(self.make_rng('dropout'), x.shape, jnp.uint16)
+            mask = bits < jnp.uint16(min(65535, round(keep * 65536.0)))
             x = jnp.where(mask, x / keep, 0.0)
         conv_out = self.conv(x)
         c_proj = self.conv1x1c(c) if c is not None else None
