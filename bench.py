@@ -229,6 +229,23 @@ def main():
             sps, _ = wavenet_train_throughput(Bw)
             train_extras[f'wavenet_train_samples_per_sec_b{Bw}'] = round(sps, 1)
 
+    # --- recorded synthesis-quality metrics (MCD-DTW, scripts/eval_mcd.py) ---
+    # Quality needs a trained checkpoint + corpus, which a bench run on random
+    # weights cannot produce; the quality manifest records the most recent
+    # measured run (provenance inside the file) so every round reports it.
+    quality_extras = {}
+    qpath = os.environ.get(
+        'T2_QUALITY_JSON',
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     'docs', 'round4', 'QUALITY.json'))
+    if os.path.isfile(qpath):
+        with open(qpath, encoding='utf-8') as f:
+            q = json.load(f)
+        for corpus, rec in q.get('corpora', {}).items():
+            for key in ('mcd_free_vs_gta', 'mcd_gta_vs_gt'):
+                if key in rec:
+                    quality_extras[f'{key}_{corpus}_recorded'] = rec[key]['mean']
+
     print(json.dumps({
         'metric': 'text_to_wav_rtf',
         'value': round(rtf_batch, 4),
@@ -241,6 +258,7 @@ def main():
             'mel_mae_golden': mel_mae,
             'audio_seconds_per_seq': round(audio_seconds, 3),
             **train_extras,
+            **quality_extras,
         },
     }))
 
