@@ -127,3 +127,23 @@ def test_concurrent_requests_serialize_on_device_lock(server):
     assert all(r[1] == sum(len(c) * 4 for c in server.chunks) for r in results)
     assert server.state['max_in_flight'] == 1  # the device lock serialized them
     assert json.loads(get(server, '/healthz')[1])['served'] >= 2
+
+
+def test_measure_ttfa_client_parses_stream(server):
+    """The TTFA measurement client (scripts/measure_ttfa.py) decodes the
+    chunked-transfer stream correctly against the fake server: all audio bytes
+    accounted for, first-audio time recorded before stream end."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        'measure_ttfa', os.path.join(os.path.dirname(__file__), '..',
+                                     'scripts', 'measure_ttfa.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    host, port = server.address
+    r = mod.one_request('hello', host, port)
+    n_samples = sum(len(c) for c in server.chunks)
+    assert r['audio_seconds'] == round(n_samples * 2 / 2 / 22050, 3)
+    assert r['ttfa_first_audio_s'] is not None
+    assert r['ttfa_first_audio_s'] <= r['total_wall_s']
+    assert r['n_chunks'] >= 1
