@@ -84,9 +84,14 @@ def main():
     gta_synth.load(ckpt_dir, hp, gta=True)
     gta_mels = gta_synth.synthesize(texts, names, None, None, gt_paths)
 
+    from tacotron2_tpu.ops.mcd import centroid_corr_dtw
+
+    dump = {}
     per_utt = []
     for name, text, fm, gm, gtp in zip(names, texts, free_mels, gta_mels, gt_paths):
         gt = np.load(gtp)
+        dump[name + '.free'] = fm
+        dump[name + '.gta'] = gm
         free_wav = audio.inv_mel_spectrogram(fm.T, hp)
         free_wav = audio.inv_preemphasis(free_wav, hp.preemphasis, hp.preemphasize)
         gta_wav = audio.inv_mel_spectrogram(gm.T, hp)
@@ -97,10 +102,14 @@ def main():
             name=name, text=text,
             free_frames=int(len(fm)), gt_frames=int(len(gt)),
             centroid_r_free=round(r_free, 4), centroid_r_gta=round(r_gta, 4),
+            # timing-marginalized conditioning score (ops/mcd.centroid_corr_dtw):
+            # the fixed-window metric above conflates duration drift with content
+            centroid_r_dtw_free_vs_gt=round(centroid_corr_dtw(fm, gt, hp), 4),
             n_char_windows=nw,
             mcd_free_vs_gta=round(mcd_dtw(fm, gm, hp), 3),
             mcd_free_vs_gt=round(mcd_dtw(fm, gt, hp), 3),
             mcd_gta_vs_gt=round(mcd_dtw(gm, gt, hp), 3)))
+    np.savez_compressed(os.path.join(base_dir, 'diag_mels.npz'), **dump)
 
     def stats(key):
         v = np.asarray([u[key] for u in per_utt], np.float64)
@@ -114,6 +123,7 @@ def main():
         n=len(per_utt), checkpoint=ckpt_dir, corpus=base_dir, mode=mode,
         centroid_r_free=stats('centroid_r_free'),
         centroid_r_gta=stats('centroid_r_gta'),
+        centroid_r_dtw_free_vs_gt=stats('centroid_r_dtw_free_vs_gt'),
         mcd_free_vs_gta=stats('mcd_free_vs_gta'),
         mcd_free_vs_gt=stats('mcd_free_vs_gt'),
         mcd_gta_vs_gt=stats('mcd_gta_vs_gt'),

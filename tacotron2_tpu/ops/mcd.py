@@ -43,6 +43,15 @@ def mel_cepstra(mel: np.ndarray, hparams: Hparams, n_coef: int = 13) -> np.ndarr
 def dtw_path_mean(dist: np.ndarray) -> Tuple[float, int]:
     """Classic DTW over a (T1, T2) frame-distance matrix; returns the mean
     distance along the optimal path and the path length."""
+    mean, path = dtw_path(dist)
+    return mean, len(path)
+
+
+def dtw_path(dist: np.ndarray) -> Tuple[float, np.ndarray]:
+    """DTW over a (T1, T2) frame-distance matrix.
+
+    Returns (mean distance along the optimal path, the path itself as an
+    (L, 2) int array of [i, j] index pairs from (0, 0) to (T1-1, T2-1))."""
     T1, T2 = dist.shape
     acc = np.full((T1 + 1, T2 + 1), np.inf)
     acc[0, 0] = 0.0
@@ -57,14 +66,16 @@ def dtw_path_mean(dist: np.ndarray) -> Tuple[float, int]:
         M = d + np.minimum(prev[1:], prev[:-1])
         S = np.cumsum(d)
         acc[i, 1:] = S + np.minimum.accumulate(M - S)
-    # backtrack for the path length
-    i, j, n = T1, T2, 0
+    # backtrack for the path
+    i, j = T1, T2
+    path = [(i - 1, j - 1)]
     while i > 1 or j > 1:
-        n += 1
         moves = [(acc[i - 1, j - 1], i - 1, j - 1), (acc[i - 1, j], i - 1, j),
                  (acc[i, j - 1], i, j - 1)]
         _, i, j = min(moves)
-    return float(acc[T1, T2] / (n + 1)), n + 1
+        path.append((i - 1, j - 1))
+    path.reverse()
+    return float(acc[T1, T2] / len(path)), np.asarray(path, np.int64)
 
 
 def mcd_dtw(mel_a: np.ndarray, mel_b: np.ndarray, hparams: Hparams,
@@ -78,3 +89,48 @@ def mcd_dtw(mel_a: np.ndarray, mel_b: np.ndarray, hparams: Hparams,
     dist = (10.0 / np.log(10.0)) * np.sqrt(2.0 * np.maximum(d2, 0.0))
     mean, _ = dtw_path_mean(dist)
     return mean
+
+
+def mel_centroids(mel: np.ndarray, hparams: Hparams):
+    """(T, num_mels) normalized mel → (T,) spectral centroid in Hz and (T,)
+    per-frame linear energy, computed from the mel filterbank's band centers."""
+    from . import stft_common as sc
+    mel_pts = np.linspace(sc.hz_to_mel(hparams.fmin), sc.hz_to_mel(hparams.fmax),
+                          hparams.num_mels + 2)
+    centers = np.asarray(sc.mel_to_hz(mel_pts[1:hparams.num_mels + 1]), np.float64)
+    db = _denormalize(np.asarray(mel, np.float64), hparams) + hparams.ref_level_db
+    amp = np.power(10.0, db / 20.0)
+    e = amp.sum(axis=-1)
+    cen = (amp * centers).sum(axis=-1) / np.maximum(e, 1e-12)
+    return cen, e
+
+
+def centroid_corr_dtw(mel_a: np.ndarray, mel_b: np.ndarray,
+                      hparams: Hparams) -> float:
+    """Timing-marginalized conditioning score: Pearson r between the mel-domain
+    spectral-centroid trajectories of two mels along their cepstral DTW path.
+
+    Rationale (synthetic band corpora): the per-character-window centroid metric
+    (scripts/eval_freerun_quality._centroid_r) assumes exact 90 ms/char timing —
+    a uniform +2.8% free-run duration stretch alone collapses it from 1.0 to
+    ~0.67 (scripts/diag_noise_metrics.py) while the content is still correct.
+    Aligning with DTW first marginalizes timing: warped ground truth recovers
+    r≈1, wrong band content cannot. Frames whose energy is below 5% of the
+    utterance's p90 energy (the silence gaps between words) are excluded so the
+    correlation measures band tracking, not silence placement."""
+    ca = mel_cepstra(mel_a, hparams)
+    cb = mel_cepstra(mel_b, hparams)
+    d2 = (np.sum(ca * ca, 1)[:, None] + np.sum(cb * cb, 1)[None, :]
+          - 2.0 * ca @ cb.T)
+    _, path = dtw_path(np.sqrt(np.maximum(d2, 0.0)))
+    cen_a, e_a = mel_centroids(mel_a, hparams)
+    cen_b, e_b = mel_centroids(mel_b, hparams)
+    ia, ib = path[:, 0], path[:, 1]
+    keep = ((e_a[ia] > 0.05 * np.percentile(e_a, 90))
+            & (e_b[ib] > 0.05 * np.percentile(e_b, 90)))
+    if keep.sum() < 8:
+        return float('nan')
+    x, y = cen_a[ia][keep], cen_b[ib][keep]
+    if x.std() < 1e-9 or y.std() < 1e-9:
+        return float('nan')
+    return float(np.corrcoef(x, y)[0, 1])

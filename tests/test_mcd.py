@@ -33,6 +33,42 @@ def test_identical_mels_zero_mcd():
     assert mcd.mcd_dtw(mel, mel, hp) < 1e-3
 
 
+def test_dtw_path_endpoints_and_monotonicity():
+    rng = np.random.default_rng(3)
+    dist = rng.uniform(0.1, 2.0, (23, 31))
+    mean, path = mcd.dtw_path(dist)
+    assert tuple(path[0]) == (0, 0) and tuple(path[-1]) == (22, 30)
+    steps = np.diff(path, axis=0)
+    assert (steps >= 0).all() and (steps.max(axis=1) == 1).all()
+    assert abs(mean * len(path) - _naive_dtw(dist)) < 1e-9
+
+
+def _band_mel(hp, bands, frames_per_band, rng, jitter=0.0):
+    """Synthetic normalized mel: a moving band bump + noise floor."""
+    rows = []
+    for b in bands:
+        n = max(2, int(round(frames_per_band * (1.0 + jitter * rng.uniform(-1, 1)))))
+        bump = np.exp(-0.5 * ((np.arange(hp.num_mels) - b) / 3.0) ** 2)
+        x = -hp.max_abs_value + (1.6 * hp.max_abs_value) * bump
+        rows.append(np.tile(x, (n, 1)) + rng.normal(0, 0.05, (n, hp.num_mels)))
+    return np.clip(np.concatenate(rows), -hp.max_abs_value, hp.max_abs_value)
+
+
+def test_centroid_corr_dtw_marginalizes_timing_not_content():
+    """Same band sequence with warped timing scores ~1; a different band
+    sequence scores well below (the timing-robust conditioning metric)."""
+    hp = default_hparams()
+    rng = np.random.default_rng(4)
+    bands = rng.integers(10, 70, 12)
+    a = _band_mel(hp, bands, 10, rng)
+    warped = _band_mel(hp, bands, 10, rng, jitter=0.3)
+    other = _band_mel(hp, rng.permutation(bands), 10, rng)
+    r_warp = mcd.centroid_corr_dtw(a, warped, hp)
+    r_other = mcd.centroid_corr_dtw(a, other, hp)
+    assert r_warp > 0.97
+    assert r_other < r_warp - 0.1
+
+
 def test_time_warp_invariance_and_ordering():
     """A frame-duplicated copy DTW-aligns back to ~0; genuinely different
     content scores higher than a warped copy."""
