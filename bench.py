@@ -242,9 +242,12 @@ def main():
         with open(qpath, encoding='utf-8') as f:
             q = json.load(f)
         for corpus, rec in q.get('corpora', {}).items():
-            for key in ('mcd_free_vs_gta', 'mcd_gta_vs_gt'):
+            for key in ('mcd_free_vs_gta', 'mcd_gta_vs_gt',
+                        'centroid_r_dtw_free_vs_gt', 'length_ratio_free_vs_gt'):
                 if key in rec:
-                    quality_extras[f'{key}_{corpus}_recorded'] = rec[key]['mean']
+                    v = rec[key]
+                    quality_extras[f'{key}_{corpus}_recorded'] = (
+                        v['mean'] if isinstance(v, dict) else v)
 
     print(json.dumps({
         'metric': 'text_to_wav_rtf',

@@ -109,7 +109,9 @@ def main():
             mcd_free_vs_gta=round(mcd_dtw(fm, gm, hp), 3),
             mcd_free_vs_gt=round(mcd_dtw(fm, gt, hp), 3),
             mcd_gta_vs_gt=round(mcd_dtw(gm, gt, hp), 3)))
-    np.savez_compressed(os.path.join(base_dir, 'diag_mels.npz'), **dump)
+    tag = sys.argv[6] if len(sys.argv) > 6 else \
+        os.path.basename(os.path.dirname(ckpt_dir.rstrip('/')))
+    np.savez_compressed(os.path.join(base_dir, f'diag_mels_{tag}.npz'), **dump)
 
     def stats(key):
         v = np.asarray([u[key] for u in per_utt], np.float64)
