@@ -199,6 +199,21 @@ def main():
     taco_time, mels_host = timed(taco_fn, *args)
     wn_time, audio_host = timed(vocode, norm(jnp.asarray(mels_host)))
 
+    # device-side synthesis rate, host fetch amortized: on this box the 1.8 MB
+    # mel fetch rides a ~17 MB/s tunnel and dominates the single-call wall time
+    # (device is ~11-21 ms of the ~66 ms, docs/round3 xplane); chaining k
+    # independent decodes before one fetch isolates the per-decode device time.
+    def chain(k):
+        def f(*a):
+            m = taco_fn(*a)
+            for _ in range(k - 1):
+                m = taco_fn(*a)
+            return m
+        return f
+    t1, _ = timed(chain(1), *args)
+    t5, _ = timed(chain(5), *args)
+    taco_device_time = max((t5 - t1) / 4, 1e-9)
+
     # end-to-end batch wall time (stages chained, host fence at the end only)
     def e2e(*a):
         return vocode(norm(taco_fn(*a)))
@@ -257,6 +272,8 @@ def main():
         'extras': {
             'rtf_single': round(rtf_single, 4),
             'tacotron_mel_frames_per_sec': round(mel_frames_per_sec, 1),
+            'tacotron_mel_frames_per_sec_device': round(
+                B * DEC_FRAMES * hp.outputs_per_step / taco_device_time, 1),
             'wavenet_samples_per_sec_chip': round(samples_per_sec, 1),
             'mel_mae_golden': mel_mae,
             'audio_seconds_per_seq': round(audio_seconds, 3),
