@@ -175,6 +175,24 @@ def test_train_step_loss_decreases(hp_tiny):
     assert not np.allclose(np.asarray(p), np.asarray(e))
 
 
+def test_train_step_remat_parity(hp_tiny):
+    # wavenet_remat recomputes residual blocks in the backward (model.py:48);
+    # it must not change the math — loss and updated params stay (near-)identical.
+    hp = hp_tiny
+    batch = make_batch(hp)
+    rng = jax.random.PRNGKey(3)
+    outs = {}
+    for remat in (False, True):
+        hpv = hp.replace(wavenet_remat=remat)
+        state = wt.create_train_state(hpv, jax.random.PRNGKey(0), batch)
+        jt = jax.jit(partial(wt.train_step, hp=hpv))
+        state, m = jt(state, batch, rng)
+        outs[remat] = (float(m['loss']),
+                       np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-6)
+    np.testing.assert_allclose(outs[False][1], outs[True][1], rtol=1e-5, atol=1e-6)
+
+
 def test_mulaw_quantize_model(hp_tiny):
     hp = default_hparams()
     hp.parse(TINY + ",input_type='mulaw-quantize',quantize_channels=256,out_channels=256")
