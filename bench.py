@@ -222,7 +222,7 @@ def main():
     n_samples = audio_host.shape[1]
     audio_seconds = n_samples / sr  # per-sequence duration
     rtf_batch = batch_time / audio_seconds
-    mel_frames_per_sec = B * DEC_FRAMES / taco_time
+    mel_frames_per_sec = B * np.asarray(mels_host).shape[1] / taco_time
     samples_per_sec = B * n_samples / wn_time
 
     # --- single-sequence pipeline (the reference's implied serving case) ---
@@ -273,7 +273,7 @@ def main():
             'rtf_single': round(rtf_single, 4),
             'tacotron_mel_frames_per_sec': round(mel_frames_per_sec, 1),
             'tacotron_mel_frames_per_sec_device': round(
-                B * DEC_FRAMES * hp.outputs_per_step / taco_device_time, 1),
+                B * np.asarray(mels_host).shape[1] / taco_device_time, 1),
             'wavenet_samples_per_sec_chip': round(samples_per_sec, 1),
             'mel_mae_golden': mel_mae,
             'audio_seconds_per_seq': round(audio_seconds, 3),
