@@ -153,23 +153,17 @@ class ResidualConv1DGLU(nn.Module):
         return jnp.tanh(a) * jax.nn.sigmoid(b)
 
     def _outputs(self, gated, residual):
-        if self.weight_normalization:
-            # keep the two module calls: the data-dependent init pass captures
-            # each conv's __call__ output to set g/bias (weight_norm_init.py)
-            s = self.conv1x1_skip(gated)
-            x = self.conv1x1_out(gated)
-        else:
-            # one merged matmul for the out+skip projections (they share the
-            # gated input, which two separate 1x1s would stream from HBM twice);
-            # same trick the incremental path uses, and a better MXU shape
-            w = jnp.concatenate([self.conv1x1_out.effective_kernel(),
-                                 self.conv1x1_skip.effective_kernel()], axis=1)
-            y = gated @ w
-            if self.use_bias:
-                y = y + jnp.concatenate([self.conv1x1_out.bias,
-                                         self.conv1x1_skip.bias]).astype(y.dtype)
-            x = y[..., :self.residual_channels]
-            s = y[..., self.residual_channels:]
+        # Two separate 1x1 applies, deliberately NOT merged into one
+        # concatenated-kernel matmul: the measured A/B (docs/round4/RESULTS.md
+        # §2b) shows the merged form is SLOWER on the parallel path (+10% at
+        # B=32) — it materializes the (B, T, out+skip) product and then slices,
+        # an extra full HBM round-trip, whereas XLA fuses each 1x1's consumers
+        # directly. (The incremental path still merges: at (B, 1) shapes the
+        # matmul dispatch, not HBM traffic, dominates.) The two-call form is
+        # also what the weight-norm data-dependent init pass captures
+        # (weight_norm_init.py).
+        s = self.conv1x1_skip(gated)
+        x = self.conv1x1_out(gated)
         if self.residual_legacy:
             x = (x + residual) * float(np.sqrt(0.5))
         else:
