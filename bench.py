@@ -231,6 +231,19 @@ def main():
     np.asarray(vocode1(norm1(taco1(*args1))))  # compile
     single_time, audio1 = timed(lambda *a: vocode1(norm1(taco1(*a))), *args1)
     rtf_single = single_time / (audio1.shape[1] / sr)
+    # single-sequence mel-decode latency (VERDICT r3 #3): wall incl. the mel
+    # fetch, and device-only via the same 5-chain amortization as the batch path
+    taco1_time, mel1 = timed(taco1, *args1)
+    def chain1(k):
+        def f(*a):
+            m = taco1(*a)
+            for _ in range(k - 1):
+                m = taco1(*a)
+            return m
+        return f
+    s1, _ = timed(chain1(1), *args1)
+    s5, _ = timed(chain1(5), *args1)
+    taco1_device_time = max((s5 - s1) / 4, 1e-9)
 
     # --- training throughput (batch-amortized: the decoder's per-step weight
     # traffic is batch-invariant, so frames/s scales superlinearly with batch) ---
@@ -275,6 +288,8 @@ def main():
             'tacotron_mel_frames_per_sec_device': round(
                 B * np.asarray(mels_host).shape[1] / taco_device_time, 1),
             'wavenet_samples_per_sec_chip': round(samples_per_sec, 1),
+            'tacotron_decode_ms_single': round(taco1_time * 1000, 1),
+            'tacotron_decode_ms_single_device': round(taco1_device_time * 1000, 1),
             'mel_mae_golden': mel_mae,
             'audio_seconds_per_seq': round(audio_seconds, 3),
             **train_extras,
