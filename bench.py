@@ -12,9 +12,16 @@ methodology as round 1 for cross-round comparability.
 
 extras carries the rest of the BASELINE.md reportables:
   - rtf_single: single-sequence end-to-end RTF (the reference's implied use case)
-  - tacotron_mel_frames_per_sec: synthesis decoder throughput (batch 8)
-  - wavenet_samples_per_sec_chip: vocoder AR throughput, aggregate over the batch
+  - tacotron_mel_frames_per_sec[_device]: synthesis decoder throughput (batch 8)
+  - wavenet_samples_per_sec_chip / _device: vocoder AR throughput over the batch
+  - text_to_wav_rtf_device: device-only e2e RTF (fetch amortized out)
   - mel_mae_golden: host DSP chain MAE vs pinned golden vectors (tests/golden/)
+  - *_recorded: synthesis-quality metrics from docs/QUALITY.json (loud when absent)
+
+On this tunnel-fed dev box the `_device` numbers are canonical and the wall
+numbers are environment-bound (output fetches ride a ~17 MB/s tunnel whose
+throughput varies round to round — reconciliation: docs/round5/RESULTS.md §1);
+on a real TPU host wall ≈ device.
 
 The reference publishes no numbers (BASELINE.md "published": {}); vs_baseline is
 the north-star target ratio 0.3/RTF (BASELINE.json: "<0.3 RTF on a single v5e
@@ -75,9 +82,8 @@ def build_pipeline(hp, B, T_in, dec_frames, taco_dtype, on_accel):
                                 predict_linear=False))(init_rngs, inputs, input_lengths)
     # untrained stop tokens must not fire: bench measures the FULL dec_frames decode
     # (the early-exit while_loop would otherwise flatter an untrained model)
-    taco_vars = jax.tree_util.tree_map(lambda x: x, taco_vars)
-    sp = taco_vars['params']['decoder']['stop_projection']
-    sp['bias'] = sp['bias'] - 100.0
+    from tacotron2_tpu.utils import suppress_stop_tokens
+    taco_vars = dict(taco_vars, params=suppress_stop_tokens(taco_vars['params']))
 
     def taco_synth(variables, inputs, input_lengths):
         out = taco.apply(variables, inputs, input_lengths, max_iters=dec_frames,
@@ -199,20 +205,27 @@ def main():
     taco_time, mels_host = timed(taco_fn, *args)
     wn_time, audio_host = timed(vocode, norm(jnp.asarray(mels_host)))
 
-    # device-side synthesis rate, host fetch amortized: on this box the 1.8 MB
-    # mel fetch rides a ~17 MB/s tunnel and dominates the single-call wall time
-    # (device is ~11-21 ms of the ~66 ms, docs/round3 xplane); chaining k
-    # independent decodes before one fetch isolates the per-decode device time.
-    def chain(k):
+    # device-side rates, host fetch amortized: on this box output fetches ride a
+    # ~17 MB/s tunnel and dominate single-call wall time (taco: 1.8 MB mel vs
+    # 11-21 ms device, docs/round3 xplane; wavenet: 6.2 MB audio vs ~0.96 s
+    # device). Chaining k independent calls before one fetch isolates per-call
+    # device time. On this box the device-side numbers are canonical (the wall
+    # numbers are tunnel-bound and vary with it — docs/round5/RESULTS.md §1);
+    # a real TPU host fetches at GB/s so wall ≈ device there.
+    def chain(fn, k):
         def f(*a):
-            m = taco_fn(*a)
+            m = fn(*a)
             for _ in range(k - 1):
-                m = taco_fn(*a)
+                m = fn(*a)
             return m
         return f
-    t1, _ = timed(chain(1), *args)
-    t5, _ = timed(chain(5), *args)
+    t1, _ = timed(chain(taco_fn, 1), *args)
+    t5, _ = timed(chain(taco_fn, 5), *args)
     taco_device_time = max((t5 - t1) / 4, 1e-9)
+    wn_in = norm(jnp.asarray(mels_host))
+    w1, _ = timed(chain(vocode, 1), wn_in, n=2)
+    w3, _ = timed(chain(vocode, 3), wn_in, n=2)
+    wn_device_time = max((w3 - w1) / 2, 1e-9)
 
     # end-to-end batch wall time (stages chained, host fence at the end only)
     def e2e(*a):
@@ -233,16 +246,10 @@ def main():
     rtf_single = single_time / (audio1.shape[1] / sr)
     # single-sequence mel-decode latency (VERDICT r3 #3): wall incl. the mel
     # fetch, and device-only via the same 5-chain amortization as the batch path
-    taco1_time, mel1 = timed(taco1, *args1)
-    def chain1(k):
-        def f(*a):
-            m = taco1(*a)
-            for _ in range(k - 1):
-                m = taco1(*a)
-            return m
-        return f
-    s1, _ = timed(chain1(1), *args1)
-    s5, _ = timed(chain1(5), *args1)
+    # (s1 times chain(taco1,1) == one taco1 call — one measurement serves both)
+    s1, _ = timed(chain(taco1, 1), *args1)
+    s5, _ = timed(chain(taco1, 5), *args1)
+    taco1_time = s1
     taco1_device_time = max((s5 - s1) / 4, 1e-9)
 
     # --- training throughput (batch-amortized: the decoder's per-step weight
@@ -262,20 +269,28 @@ def main():
     # weights cannot produce; the quality manifest records the most recent
     # measured run (provenance inside the file) so every round reports it.
     quality_extras = {}
-    qpath = os.environ.get(
-        'T2_QUALITY_JSON',
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     'docs', 'round4', 'QUALITY.json'))
+    qpath = os.environ.get('T2_QUALITY_JSON',
+                           os.path.join(REPO, 'docs', 'QUALITY.json'))
     if os.path.isfile(qpath):
         with open(qpath, encoding='utf-8') as f:
             q = json.load(f)
+        quality_extras['quality_manifest'] = os.path.relpath(qpath, REPO)
         for corpus, rec in q.get('corpora', {}).items():
             for key in ('mcd_free_vs_gta', 'mcd_gta_vs_gt',
-                        'centroid_r_dtw_free_vs_gt', 'length_ratio_free_vs_gt'):
+                        'centroid_r_dtw_free_vs_gt', 'length_ratio_free_vs_gt',
+                        'audio_centroid_r_free', 'audio_mcd_free_vs_gt'):
                 if key in rec:
                     v = rec[key]
                     quality_extras[f'{key}_{corpus}_recorded'] = (
                         v['mean'] if isinstance(v, dict) else v)
+    else:
+        # fail LOUDLY: a silently-absent manifest let round 4 ship zero quality
+        # keys (VERDICT r4 weak #2) — every bench line must say one way or the other
+        import sys
+        print(f'WARNING: quality manifest {qpath} missing - bench carries no '
+              'quality keys (scripts/make_quality_manifest.py writes it)',
+              file=sys.stderr)
+        quality_extras['quality_manifest'] = 'missing'
 
     print(json.dumps({
         'metric': 'text_to_wav_rtf',
@@ -288,6 +303,10 @@ def main():
             'tacotron_mel_frames_per_sec_device': round(
                 B * np.asarray(mels_host).shape[1] / taco_device_time, 1),
             'wavenet_samples_per_sec_chip': round(samples_per_sec, 1),
+            'wavenet_samples_per_sec_device': round(
+                B * n_samples / wn_device_time, 1),
+            'text_to_wav_rtf_device': round(
+                (taco_device_time + wn_device_time) / audio_seconds, 4),
             'tacotron_decode_ms_single': round(taco1_time * 1000, 1),
             'tacotron_decode_ms_single_device': round(taco1_device_time * 1000, 1),
             'mel_mae_golden': mel_mae,

@@ -30,8 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
     out = sys.argv[1]
     overrides = sys.argv[2] if len(sys.argv) > 2 else ''
+    from tacotron2_tpu.utils import suppress_stop_tokens
     from tacotron2_tpu.utils.runtime import setup_runtime
     setup_runtime()
     from tacotron2_tpu.config import default_hparams
@@ -48,10 +52,7 @@ def main():
         input_lengths=np.ones((1,), np.int32),
         mel_targets=np.zeros((1, hp.outputs_per_step, hp.num_mels), np.float32))
     state = tt.create_train_state(hp, jax.random.PRNGKey(0), dummy)
-    params = jax.device_get(state.params)
-    params['decoder']['stop_projection']['bias'] = (
-        params['decoder']['stop_projection']['bias'] - 100.0)
-    state = state.replace(params=params)
+    state = state.replace(params=suppress_stop_tokens(jax.device_get(state.params)))
     CheckpointManager(os.path.join(out, 'taco_pretrained')).save(0, state)
     print('wrote', os.path.join(out, 'taco_pretrained'))
 

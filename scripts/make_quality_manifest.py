@@ -26,7 +26,10 @@ KEEP = ('mcd_free_vs_gta', 'mcd_free_vs_gt', 'mcd_gta_vs_gt',
 
 def load_quality(path: str) -> dict:
     raw = open(path, encoding='utf-8').read()
-    return json.loads(raw[raw.index('{"'):])
+    try:  # clean (possibly pretty-printed) JSON file
+        return json.loads(raw)
+    except json.JSONDecodeError:  # synthesizer load logs precede the JSON line
+        return json.loads(raw[raw.index('{"'):])
 
 
 def main():

@@ -91,6 +91,25 @@ def train(log_dir: str, args, hparams: Hparams):
 
     np.random.seed(hp.tacotron_random_seed)
 
+    # Early-decay guard (docs/round4/RESULTS.md §6, measured): scheduled sampling
+    # is a fine-tune for a CONVERGED tfr=1.0 model, not a from-scratch curriculum —
+    # decaying tfr while the model was still immature destroyed free-run content
+    # (DTW centroid-r 0.08 vs 0.920 when decaying after convergence on the same
+    # corpus/decay width). The reference default (start_decay=10000 on its 100k
+    # budget, reference hparams.py:285, train.py:114) decays early and is exposed
+    # to the same footgun. Convergence isn't knowable a priori, so warn on the
+    # budget fraction; the analog of wavenet_train's short-run EMA guard.
+    if (hp.tacotron_teacher_forcing_mode == 'scheduled'
+            and hp.tacotron_teacher_forcing_start_decay
+                < 0.5 * args.tacotron_train_steps):
+        log('WARNING: tacotron_teacher_forcing_start_decay={} is early in the '
+            '{}-step budget. Scheduled sampling applied before the tfr=1.0 model '
+            'converges DESTROYS free-run content (measured: DTW centroid-r 0.08 '
+            'early vs 0.920 late, docs/round4/RESULTS.md §6) while teacher-forced '
+            'output stays deceptively fine. Decay only once eval loss has '
+            'plateaued and free-run synthesis is already coherent.'.format(
+                hp.tacotron_teacher_forcing_start_decay, args.tacotron_train_steps))
+
     # data
     dataset = TacotronDataset(input_path, hp, base_dir=os.path.dirname(input_path))
     log('Loaded metadata for {} examples ({:.2f} hours)'.format(len(dataset), dataset.hours))

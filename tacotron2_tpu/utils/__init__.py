@@ -32,3 +32,18 @@ def round_up(x: int, multiple: int) -> int:
 
 def round_down(x: int, multiple: int) -> int:
     return x - (x % multiple)
+
+
+def suppress_stop_tokens(params, push: float = -100.0):
+    """Push the Tacotron stop-projection bias so stop tokens never fire.
+
+    Benchmark/latency harnesses on random-init weights (bench.py,
+    scripts/dev_make_ttfa_ckpts.py) need the decode to run exactly `max_iters`
+    steps — an untrained stop token is a coin flip that would otherwise stop at
+    the 4r-frame synthesizer floor and flatter the measurement. Works on host
+    or device pytrees; returns a new params tree."""
+    import jax
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    sp = params['decoder']['stop_projection']
+    sp['bias'] = sp['bias'] + push
+    return params

@@ -102,6 +102,34 @@ def test_tacotron_train_loop_smoke(corpus):
     assert CheckpointManager(save_dir, max_to_keep=20).latest_step() == 3
 
 
+def test_scheduled_sampling_early_decay_guard(corpus, capsys):
+    """Decaying tfr before convergence destroys free-run content (measured:
+    DTW centroid-r 0.08 early vs 0.920 late, docs/round4/RESULTS.md §6) — the
+    loop must warn when start_decay lands early in the budget."""
+    from tacotron2_tpu.training.tacotron_train import tacotron_train
+    hp = default_hparams()
+    hp.parse(TACO_TINY + ",tacotron_teacher_forcing_mode='scheduled',"
+             "tacotron_teacher_forcing_start_decay=0,"
+             "tacotron_teacher_forcing_decay_steps=4")
+    log_dir = os.path.join(corpus, 'logs-taco-ss')
+    os.makedirs(log_dir, exist_ok=True)
+    tacotron_train(_args(corpus, tacotron_train_steps=2, eval_interval=100,
+                         checkpoint_interval=2), log_dir, hp)
+    out = capsys.readouterr().out
+    assert 'DESTROYS free-run content' in out
+
+    # decay-late (start_decay >= half the budget) must NOT warn
+    hp2 = default_hparams()
+    hp2.parse(TACO_TINY + ",tacotron_teacher_forcing_mode='scheduled',"
+              "tacotron_teacher_forcing_start_decay=2,"
+              "tacotron_teacher_forcing_decay_steps=4")
+    log_dir2 = os.path.join(corpus, 'logs-taco-ss2')
+    os.makedirs(log_dir2, exist_ok=True)
+    tacotron_train(_args(corpus, tacotron_train_steps=3, eval_interval=100,
+                         checkpoint_interval=3), log_dir2, hp2)
+    assert 'DESTROYS free-run content' not in capsys.readouterr().out
+
+
 def test_wavenet_train_loop_smoke(corpus, capsys):
     from tacotron2_tpu.training.wavenet_train import wavenet_train
     hp = default_hparams()
