@@ -80,24 +80,55 @@ class Synthesizer:
             self._apply_cache[key] = jax.jit(fn)
         return self._apply_cache[key]
 
+    def _prepare_text_batch(self, texts, mel_filenames=None):
+        """Pad the batch to the synthesis batch size by repeating the last sample
+        (reference synthesizer.py:81-85) — keeps one static XLA batch shape."""
+        hp = self._hp
+        bs = hp.tacotron_synthesis_batch_size
+        if len(texts) < bs:
+            if mel_filenames is not None:
+                mel_filenames = list(mel_filenames) + [mel_filenames[-1]] * (bs - len(texts))
+            texts = list(texts) + [texts[-1]] * (bs - len(texts))
+        seqs = [np.asarray(text_to_sequence(t, self._cleaners), np.int32) for t in texts]
+        input_lengths = np.asarray([len(s) for s in seqs], np.int32)
+        T_in = _round_up(int(input_lengths.max()), hp.pad_text_multiple)
+        inputs = np.stack([np.pad(s, (0, T_in - len(s))) for s in seqs])
+        return texts, mel_filenames, inputs, input_lengths
+
+    def synthesize_to_device(self, texts: Sequence[str]):
+        """Free-running decode that leaves the mel ON DEVICE.
+
+        The streaming path's handoff to the vocoder: only the (B, T) stop-token
+        logits are fetched (a few KB — they determine the output lengths,
+        reference synthesizer.py:254); the mel itself is clipped to the model
+        output range on device and returned as a `jax.Array`, saving the full
+        mel fetch + re-upload round-trip that `synthesize()` pays (the dominant
+        pre-vocoder latency term when host↔device bandwidth is scarce).
+
+        Returns (mel, lengths): `mel` is a clipped (batch, T, num_mels) device
+        array still padded to the decode length — T is static per hp.max_iters,
+        so this compiles exactly once; slice per-utterance with `lengths`.
+        """
+        hp = self._hp
+        rng = jax.random.PRNGKey(hp.tacotron_random_seed)
+        n_real = len(texts)
+        texts, _, inputs, input_lengths = self._prepare_text_batch(texts)
+        out = self._jit_apply(False, hp.max_iters)(
+            self._variables, inputs, input_lengths, None, rng)
+        lengths = self._get_output_lengths(np.asarray(out['stop_token_prediction']))
+        lo, hi = output_range(hp)
+        mel = jnp.clip(out['mel_outputs'], lo, hi)
+        return mel, lengths[:n_real]
+
     def synthesize(self, texts: Sequence[str], basenames: Sequence[str],
                    out_dir: Optional[str], log_dir: Optional[str],
                    mel_filenames: Optional[Sequence[str]]):
         """Synthesize a batch. Returns list of saved mel paths (+ speaker ids)."""
         hp = self._hp
         rng = jax.random.PRNGKey(hp.tacotron_random_seed)
-        # pad the batch to the synthesis batch size by repeating the last sample
-        # (reference synthesizer.py:81-85) — keeps one static XLA batch shape
         n_real = len(texts)
-        bs = hp.tacotron_synthesis_batch_size
-        if n_real < bs:
-            texts = list(texts) + [texts[-1]] * (bs - n_real)
-            if mel_filenames is not None:
-                mel_filenames = list(mel_filenames) + [mel_filenames[-1]] * (bs - n_real)
-        seqs = [np.asarray(text_to_sequence(t, self._cleaners), np.int32) for t in texts]
-        input_lengths = np.asarray([len(s) for s in seqs], np.int32)
-        T_in = _round_up(int(input_lengths.max()), hp.pad_text_multiple)
-        inputs = np.stack([np.pad(s, (0, T_in - len(s))) for s in seqs])
+        texts, mel_filenames, inputs, input_lengths = \
+            self._prepare_text_batch(texts, mel_filenames)
 
         if self.gta:
             assert mel_filenames is not None
