@@ -278,7 +278,8 @@ def main():
         for corpus, rec in q.get('corpora', {}).items():
             for key in ('mcd_free_vs_gta', 'mcd_gta_vs_gt',
                         'centroid_r_dtw_free_vs_gt', 'length_ratio_free_vs_gt',
-                        'audio_centroid_r_free', 'audio_mcd_free_vs_gt'):
+                        'audio_centroid_r_free', 'audio_centroid_r_dtw_free_vs_gt',
+                        'audio_mcd_free_vs_gt', 'audio_length_ratio_free_vs_gt'):
                 if key in rec:
                     v = rec[key]
                     quality_extras[f'{key}_{corpus}_recorded'] = (

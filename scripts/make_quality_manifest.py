@@ -21,7 +21,10 @@ import sys
 
 KEEP = ('mcd_free_vs_gta', 'mcd_free_vs_gt', 'mcd_gta_vs_gt',
         'centroid_r_dtw_free_vs_gt', 'centroid_r_free', 'centroid_r_gta',
-        'length_ratio_free_vs_gt')
+        'length_ratio_free_vs_gt',
+        # audio-domain keys (scripts/eval_wav_quality.py — WaveNet-vocoded wav)
+        'audio_centroid_r_free', 'audio_centroid_r_dtw_free_vs_gt',
+        'audio_mcd_free_vs_gt', 'audio_length_ratio_free_vs_gt')
 
 
 def load_quality(path: str) -> dict:

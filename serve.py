@@ -41,6 +41,9 @@ def main():
                    help='smaller first chunk = faster time-to-first-audio')
     p.add_argument('--no-warmup', action='store_true',
                    help='skip the warmup synthesis (first request pays compiles)')
+    p.add_argument('--warmup_buckets', type=int, default=3,
+                   help='text-length buckets (of pad_text_multiple chars) to '
+                        'pre-compile at startup')
     args = p.parse_args()
 
     hp = default_hparams()
@@ -59,9 +62,17 @@ def main():
                             first_chunk_seconds=args.first_chunk_seconds)
 
     if not args.no_warmup:
+        # One warmup per text-length bucket (pad_text_multiple chars each): the
+        # decode program is compiled per bucket, so warming only one length
+        # leaves every other bucket's first request paying a trace+compile
+        # (measured: 4.3 s extra on this box, docs/round5/ttfa/).
         log('Warmup synthesis (compiles the decode + vocode programs)...')
-        for _ in stream_fn('Server warm up.', 0):
-            pass
+        filler = 'All work and no play makes Jack a dull boy. '
+        for bucket in range(1, args.warmup_buckets + 1):
+            text = (filler * 8)[:hp.pad_text_multiple * bucket - 4]
+            for _ in stream_fn(text, 0):
+                pass
+            log('  warmed text bucket {} ({} chars)'.format(bucket, len(text)))
         log('Warmup done.')
 
     server = TTSServer(stream_fn, sample_rate=hp.sample_rate, host=args.host,

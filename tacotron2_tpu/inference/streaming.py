@@ -61,7 +61,15 @@ class StreamingSynthesizer:
         self._taco.load(taco_checkpoint_dir, hparams)
         self._wn = WaveNetSynthesizer()
         self._wn.load(wavenet_checkpoint_dir, hparams)
+        # one-time prep (device-resident weights, packed kernel params, jitted
+        # conditioning upsampler) so each request pays only per-chunk AR work
+        self._get_vocoder()
         return self
+
+    def _get_vocoder(self) -> wt.StreamVocoder:
+        if getattr(self, '_vocoder', None) is None:
+            self._vocoder = wt.StreamVocoder(self._wn._params, self._hp)
+        return self._vocoder
 
     def stream(self, text: str, seed: int = 0,
                chunk_seconds: float = 0.75,
@@ -114,9 +122,9 @@ class StreamingSynthesizer:
         total = (len(mel) if n_frames is None else n_frames) * hp.get_hop_size()
         emitted = 0
         zi = np.zeros(1)  # inv-preemphasis one-pole state (rest == full-call init)
-        for y in wt.stream_vocode(self._wn._params, hp, jax.random.PRNGKey(seed),
-                                  c, g, chunk_samples=chunk,
-                                  first_chunk_samples=first):
+        for y in self._get_vocoder().stream(jax.random.PRNGKey(seed), c, g,
+                                            chunk_samples=chunk,
+                                            first_chunk_samples=first):
             y = np.asarray(y[0])
             y = y[:max(0, min(len(y), total - emitted))]  # trim kernel padding
             emitted += len(y)

@@ -60,7 +60,11 @@ class Synthesizer:
             raise FileNotFoundError(f'no checkpoint in {checkpoint_dir}')
         state = ckpt.restore(state)
         log('Loading checkpoint: {} (step {})'.format(checkpoint_dir, int(state.step)))
-        self._variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        # orbax restores HOST numpy arrays; pin them on device once, or every
+        # jitted call re-uploads the full weight tree (seconds per request on a
+        # bandwidth-starved host link — this was the streaming-TTFA long pole)
+        self._variables = jax.device_put(
+            {'params': state.params, 'batch_stats': state.batch_stats})
         self._pad_value = -hparams.max_abs_value if hparams.symmetric_mels else 0.0
 
     # ------------------------------------------------------------------

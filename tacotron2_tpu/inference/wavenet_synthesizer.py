@@ -42,7 +42,9 @@ class Synthesizer:
             raise FileNotFoundError(f'no checkpoint in {checkpoint_dir}')
         state = ckpt.restore(state)
         log('Loaded WaveNet checkpoint at step {} (EMA weights)'.format(int(state.step)))
-        self._params = state.ema_params
+        # pin on device: orbax restores host numpy, and re-uploading the weight
+        # tree per generate/pack call dominates request latency on a slow link
+        self._params = jax.device_put(state.ema_params)
 
     def _prepare_conditions(self, mels: Sequence[np.ndarray]):
         """Clip + rescale to [0,1] + pad, like the training feeder

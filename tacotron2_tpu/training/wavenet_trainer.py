@@ -12,6 +12,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import core, struct
 
@@ -237,62 +238,96 @@ def generate(params, hp: Hparams, rng: jax.Array, c: Optional[jnp.ndarray],
     return fn(params, rng, c, g, targets)
 
 
+class StreamVocoder:
+    """Prepared streaming vocoder: all per-model work (device_put of the weight
+    tree, kernel weight packing, jitting the conditioning upsampler) happens ONCE
+    at construction, so a served request pays only the per-chunk AR kernel work.
+    `stream_vocode` constructs one per call; long-lived servers keep one around
+    (inference/streaming.StreamingSynthesizer does)."""
+
+    def __init__(self, params, hp: Hparams, dtype=jnp.float32,
+                 interpret: Optional[bool] = None):
+        from ..ops.pallas import wavenet_ar
+        self._ar = wavenet_ar
+        hp.freeze()
+        assert wavenet_ar.supports(hp), 'streaming requires a kernel-supported config'
+        on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+        self._interpret = (not on_tpu) if interpret is None else interpret
+        self._hp = hp
+        # orbax-restored trees are host numpy; without this every upsample call
+        # re-ships the weights over the host link (the round-4 TTFA long pole)
+        self._params = jax.device_put(params)
+        self._model = WaveNet(hp, dtype=dtype)
+        self._upsample = jax.jit(lambda p, cc: self._model.apply(
+            {'params': p}, cc, method=WaveNet.upsample_conditioning))
+        self._weights = wavenet_ar.pack_params(self._params, hp)
+        self._g_cache = {}
+
+    def _global_cond(self, g: Optional[jnp.ndarray]):
+        if g is None or self._hp.gin_channels <= 0:
+            return None
+        key = tuple(np.asarray(g).ravel().tolist())
+        if key not in self._g_cache:
+            g_emb = self._model.apply({'params': self._params}, g,
+                                      method=WaveNet._embed_global)
+            self._g_cache[key] = self._ar.pack_global(self._params, self._hp, g_emb)
+        return self._g_cache[key]
+
+    def stream(self, rng: jax.Array, c: jnp.ndarray,
+               g: Optional[jnp.ndarray] = None, chunk_samples: int = 16384,
+               first_chunk_samples: int = 4096):
+        """Yield waveform chunks for one conditioning batch as they are generated.
+
+        The AR kernel carries its generation state (per-layer ring buffers,
+        next-step h, absolute step offset) across calls, so the chunk sequence is
+        bit-identical to one long call with the same per-chunk noise — but the
+        first audio arrives after `first_chunk_samples` of samples instead of
+        after the whole utterance, and memory stays constant for unbounded-length
+        synthesis. Chunk sizes must be multiples of the kernel CHUNK (128
+        samples); only the final (ragged) chunk may be unaligned.
+
+        The reference's incremental path has no streaming analog (one monolithic
+        tf.while_loop over all samples, reference wavenet.py:888-895)."""
+        wavenet_ar, hp = self._ar, self._hp
+        assert chunk_samples % wavenet_ar.CHUNK == 0
+        assert first_chunk_samples % wavenet_ar.CHUNK == 0
+        c_up = self._upsample(self._params, c)
+        g_cond = self._global_cond(g)
+        B, T = c_up.shape[0], c_up.shape[1]
+        assert B <= wavenet_ar.max_batch(hp)
+        state = None
+        pos = 0
+        key = rng
+        while pos < T:
+            n = first_chunk_samples if pos == 0 else chunk_samples
+            n = min(n, T - pos)
+            last = pos + n >= T
+            key, k_noise, k_seed = jax.random.split(key, 3)
+            noise = wavenet_ar.make_noise(hp, k_noise, B, n)
+            seed = jax.random.randint(k_seed, (1,), 0, jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            out = wavenet_ar.generate_ar(self._weights, c_up[:, pos:pos + n],
+                                         noise, hp, g_cond=g_cond,
+                                         interpret=self._interpret,
+                                         return_params=False, seed=seed,
+                                         state_in=state, return_state=not last)
+            if last:
+                audio, _ = out
+            else:
+                audio, _, state = out
+            pos += n
+            yield audio
+
+
 def stream_vocode(params, hp: Hparams, rng: jax.Array, c: jnp.ndarray,
                   g: Optional[jnp.ndarray] = None, chunk_samples: int = 16384,
                   first_chunk_samples: int = 4096, dtype=jnp.float32,
                   interpret: Optional[bool] = None):
-    """Streaming vocoder: yield waveform chunks as they are generated.
-
-    The AR kernel carries its generation state (per-layer ring buffers, next-step
-    h, absolute step offset) across calls, so the chunk sequence is bit-identical
-    to one long call with the same per-chunk noise — but the first audio arrives
-    after `first_chunk_samples` (~0.19 s at default sizes, ~25 ms of device time)
-    instead of after the whole utterance, and memory stays constant for
-    unbounded-length synthesis. Chunk sizes must be multiples of the kernel CHUNK
-    (128 samples); only the final (ragged) chunk may be unaligned.
-
-    The reference's incremental path has no streaming analog (one monolithic
-    tf.while_loop over all samples, reference wavenet.py:888-895)."""
-    from ..ops.pallas import wavenet_ar
-
-    hp.freeze()
-    assert wavenet_ar.supports(hp), 'streaming requires a kernel-supported config'
-    assert chunk_samples % wavenet_ar.CHUNK == 0
-    assert first_chunk_samples % wavenet_ar.CHUNK == 0
-    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
-    if interpret is None:
-        interpret = not on_tpu
-    model = WaveNet(hp, dtype=dtype)
-    c_up = jax.jit(lambda p, cc: model.apply(
-        {'params': p}, cc, method=WaveNet.upsample_conditioning))(params, c)
-    weights = wavenet_ar.pack_params(params, hp)
-    g_cond = None
-    if g is not None and hp.gin_channels > 0:
-        g_emb = model.apply({'params': params}, g, method=WaveNet._embed_global)
-        g_cond = wavenet_ar.pack_global(params, hp, g_emb)
-    B, T = c_up.shape[0], c_up.shape[1]
-    assert B <= wavenet_ar.max_batch(hp)
-    state = None
-    pos = 0
-    key = rng
-    while pos < T:
-        n = first_chunk_samples if pos == 0 else chunk_samples
-        n = min(n, T - pos)
-        last = pos + n >= T
-        key, k_noise, k_seed = jax.random.split(key, 3)
-        noise = wavenet_ar.make_noise(hp, k_noise, B, n)
-        seed = jax.random.randint(k_seed, (1,), 0, jnp.iinfo(jnp.int32).max,
-                                  dtype=jnp.int32)
-        out = wavenet_ar.generate_ar(weights, c_up[:, pos:pos + n], noise, hp,
-                                     g_cond=g_cond, interpret=interpret,
-                                     return_params=False, seed=seed,
-                                     state_in=state, return_state=not last)
-        if last:
-            audio, _ = out
-        else:
-            audio, _, state = out
-        pos += n
-        yield audio
+    """One-shot streaming vocode (see StreamVocoder.stream). Servers should hold
+    a StreamVocoder instead: this wrapper re-packs weights every call."""
+    voc = StreamVocoder(params, hp, dtype=dtype, interpret=interpret)
+    yield from voc.stream(rng, c, g, chunk_samples=chunk_samples,
+                          first_chunk_samples=first_chunk_samples)
 
 
 def generate_data_parallel(params, hp: Hparams, rng: jax.Array, c: jnp.ndarray,
