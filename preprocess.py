@@ -9,7 +9,7 @@ import argparse
 import os
 from multiprocessing import cpu_count
 
-from tacotron2_tpu.config import default_hparams
+from tacotron2_tpu.config import default_hparams, paper_hparams
 from tacotron2_tpu.data import corpora, preprocessor
 
 
@@ -46,6 +46,9 @@ def main():
     parser.add_argument('--base_dir', default='')
     parser.add_argument('--hparams', default='',
                         help="comma-separated 'name=value' hyperparameter overrides")
+    parser.add_argument('--paper_profile', action='store_true',
+                        help='start from the exact-paper hparams profile (reference '
+                             'paper_hparams.py swap-in); --hparams applies on top')
     parser.add_argument('--dataset', default='LJSpeech-1.1')
     parser.add_argument('--language', default='en_US', help='M-AILABS language tag')
     parser.add_argument('--voice', default='female', help='M-AILABS voice group')
@@ -61,7 +64,7 @@ def main():
 
     if args.merge_books not in ('False', 'True'):
         raise ValueError("--merge_books takes 'True' or 'False'")
-    hparams = default_hparams()
+    hparams = paper_hparams() if args.paper_profile else default_hparams()
     hparams.parse(args.hparams)
     run_preprocess(args, hparams)
 

@@ -94,7 +94,15 @@ def main():
         if wav.dtype.kind == 'i':
             wav = wav.astype(np.float32) / np.iinfo(wav.dtype).max
         assert sr == hp.sample_rate, (sr, hp.sample_rate)
-        mel = audio.melspectrogram(wav, hp).T  # wav -> (T, num_mels), GT chain
+        # GT-chain re-extraction: stored mels are melspectrogram(preemphasized +
+        # own-max-rescaled wav) (data/preprocessor.py:71-76) — melspectrogram
+        # itself does NOT preemphasize. Validated on GT audio: this chain gives
+        # r_dtw 1.0 / MCD 0.1-0.6 (ceiling), vs r 0.97 / MCD ~27 without the
+        # preemphasis (docs/round5/RESULTS.md §3 controls).
+        w = audio.preemphasis(wav, hp.preemphasis, hp.preemphasize)
+        if hp.rescale:
+            w = w / np.abs(w).max() * hp.rescaling_max
+        mel = audio.melspectrogram(w, hp).T  # wav -> (T, num_mels)
         per_utt.append(dict(
             text=text, wav=wav_path,
             wav_frames=int(len(mel)), gt_frames=int(len(gt)),

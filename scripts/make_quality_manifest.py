@@ -45,7 +45,13 @@ def main():
         rec['provenance'] = dict(
             checkpoint=q['checkpoint'], corpus=q['corpus'], n=q['n'],
             mode=q['mode'], source=path, date=date)
-        corpora[corpus] = rec
+        if corpus in corpora:  # merge (e.g. mel-domain + audio-domain evals)
+            prov = corpora[corpus].pop('provenance')
+            prov['also'] = prov.get('also', []) + [rec.pop('provenance')]
+            corpora[corpus].update(rec)
+            corpora[corpus]['provenance'] = prov
+        else:
+            corpora[corpus] = rec
     with open(out_path, 'w', encoding='utf-8') as f:
         json.dump(dict(
             comment='Recorded synthesis-quality metrics (scripts/'

@@ -19,7 +19,7 @@ queue behind the device lock, bounded by --max-waiters (then 503).
 import argparse
 import os
 
-from tacotron2_tpu.config import default_hparams
+from tacotron2_tpu.config import default_hparams, paper_hparams
 from tacotron2_tpu.utils.infolog import log
 
 
@@ -44,9 +44,12 @@ def main():
     p.add_argument('--warmup_buckets', type=int, default=3,
                    help='text-length buckets (of pad_text_multiple chars) to '
                         'pre-compile at startup')
+    p.add_argument('--paper_profile', action='store_true',
+                   help='start from the exact-paper hparams profile (reference '
+                        'paper_hparams.py swap-in); --hparams applies on top')
     args = p.parse_args()
 
-    hp = default_hparams()
+    hp = paper_hparams() if args.paper_profile else default_hparams()
     if args.hparams:
         hp.parse(args.hparams)
 

@@ -8,7 +8,7 @@ working; the implementations live in `tacotron2_tpu.inference`.
 import argparse
 import os
 
-from tacotron2_tpu.config import default_hparams
+from tacotron2_tpu.config import default_hparams, paper_hparams
 from tacotron2_tpu.utils.infolog import log
 
 MODES = ('eval', 'synthesis', 'live', 'stream')
@@ -81,6 +81,9 @@ def main():
                         help='checkpoint path override')
     parser.add_argument('--hparams', default='',
                         help="comma-separated 'name=value' hyperparameter overrides")
+    parser.add_argument('--paper_profile', action='store_true',
+                        help='start from the exact-paper hparams profile (reference '
+                             'paper_hparams.py swap-in); --hparams applies on top')
     parser.add_argument('--name',
                         help='run name shared by both models (joint Tacotron-2 training)')
     parser.add_argument('--tacotron_name',
@@ -119,7 +122,7 @@ def main():
     if args.mode == 'stream' and args.model != 'Tacotron-2':
         raise ValueError('stream mode needs both stages (--model=Tacotron-2)')
 
-    hparams = default_hparams()
+    hparams = paper_hparams() if args.paper_profile else default_hparams()
     hparams.parse(args.hparams)
 
     taco_pretrained = wave_pretrained = None

@@ -120,7 +120,9 @@ def run_synthesis(args, checkpoint_dir: str, output_dir: str, hparams: Hparams,
     os.makedirs(wav_dir, exist_ok=True)
     os.makedirs(plot_dir, exist_ok=True)
 
-    if isinstance(mels_input, str) and os.path.isdir(mels_input):
+    if (isinstance(mels_input, str) and os.path.isdir(mels_input)
+            and not os.path.isfile(os.path.join(mels_input, 'map.txt'))):
+        # bare dir of mel npys (no texts available)
         candidates = [os.path.join(mels_input, f) for f in sorted(os.listdir(mels_input))
                       if f.endswith('.npy')]
         mel_files = candidates
@@ -167,4 +169,7 @@ def wavenet_synthesize(args, hparams, checkpoint, mels_input=None):
     output_dir = os.path.join(args.base_dir, 'wavenet_output')
     if mels_input is None:
         mels_input = args.mels_dir
+    if (isinstance(mels_input, str) and not os.path.isabs(mels_input)
+            and not os.path.exists(mels_input)):
+        mels_input = os.path.join(args.base_dir, mels_input)
     return run_synthesis(args, checkpoint, output_dir, hparams, mels_input)

@@ -15,7 +15,7 @@ the GTA map path, pipe-separated.
 import argparse
 import os
 
-from tacotron2_tpu.config import default_hparams
+from tacotron2_tpu.config import default_hparams, paper_hparams
 from tacotron2_tpu.utils import infolog
 from tacotron2_tpu.utils.infolog import log
 
@@ -52,7 +52,7 @@ def str2bool(v: str) -> bool:
 def prepare_run(args):
     from tacotron2_tpu.utils.runtime import setup_runtime
     setup_runtime()
-    hp = default_hparams()
+    hp = paper_hparams() if getattr(args, 'paper_profile', False) else default_hparams()
     hp.parse(args.hparams)
     run_name = args.name or args.model
     log_dir = os.path.join(args.base_dir, 'logs-{}'.format(run_name))
@@ -118,6 +118,10 @@ def main():
     parser.add_argument('--base_dir', default='')
     parser.add_argument('--hparams', default='',
                         help='Hyperparameter overrides as a comma-separated list of name=value pairs')
+    parser.add_argument('--paper_profile', action='store_true',
+                        help='start from the exact-paper hparams profile instead of the '
+                             'defaults (reference paper_hparams.py swap-in); --hparams '
+                             'overrides still apply on top')
     parser.add_argument('--tacotron_input', default='training_data/train.txt')
     parser.add_argument('--wavenet_input', default='tacotron_output/gta/map.txt')
     parser.add_argument('--name', help='Name of logging directory.')

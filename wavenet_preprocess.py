@@ -12,7 +12,7 @@ from multiprocessing import cpu_count
 
 import numpy as np
 
-from tacotron2_tpu.config import default_hparams
+from tacotron2_tpu.config import default_hparams, paper_hparams
 from tacotron2_tpu.data import preprocessor
 
 
@@ -48,12 +48,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--base_dir', default='')
     parser.add_argument('--hparams', default='')
+    parser.add_argument('--paper_profile', action='store_true',
+                        help='start from the exact-paper hparams profile (reference '
+                             'paper_hparams.py swap-in); --hparams applies on top')
     parser.add_argument('--input_dir', default='wavs', help='directory of .wav files')
     parser.add_argument('--output', default='tacotron_output/gta/')
     parser.add_argument('--n_jobs', type=int, default=cpu_count())
     args = parser.parse_args()
 
-    hparams = default_hparams()
+    hparams = paper_hparams() if args.paper_profile else default_hparams()
     hparams.parse(args.hparams)
 
     input_dir = os.path.join(args.base_dir, args.input_dir)
