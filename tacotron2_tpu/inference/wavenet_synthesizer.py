@@ -112,6 +112,27 @@ class Synthesizer:
         return paths
 
 
+def resolve_mels_input(mels_input):
+    """(texts, mel_files) from a map.txt path, a dir (with or without map.txt),
+    or a list of mel files. A dir containing map.txt is read as a map so the
+    text column survives (an eval dir passed as --mels_dir used to lose it)."""
+    if (isinstance(mels_input, str) and os.path.isdir(mels_input)
+            and not os.path.isfile(os.path.join(mels_input, 'map.txt'))):
+        # bare dir of mel npys (no texts available)
+        mel_files = [os.path.join(mels_input, f) for f in sorted(os.listdir(mels_input))
+                     if f.endswith('.npy')]
+        return [''] * len(mel_files), mel_files
+    map_file = mels_input if isinstance(mels_input, str) else None
+    if map_file is None or not os.path.isfile(map_file):
+        # eval dir containing map.txt
+        map_file = os.path.join(mels_input, 'map.txt')
+    rows = [l.strip().split('|') for l in open(map_file, encoding='utf-8')]
+    # eval map: text|mel_path ; gta map: wav|gt_mel|gta_mel|g|text
+    if len(rows[0]) == 2:
+        return [r[0] for r in rows], [r[1] for r in rows]
+    return [r[-1] for r in rows], [r[2] for r in rows]
+
+
 def run_synthesis(args, checkpoint_dir: str, output_dir: str, hparams: Hparams,
                   mels_input):
     """mels_input: a map.txt path, a dir of mel npys, or a list of mel files."""
@@ -120,26 +141,7 @@ def run_synthesis(args, checkpoint_dir: str, output_dir: str, hparams: Hparams,
     os.makedirs(wav_dir, exist_ok=True)
     os.makedirs(plot_dir, exist_ok=True)
 
-    if (isinstance(mels_input, str) and os.path.isdir(mels_input)
-            and not os.path.isfile(os.path.join(mels_input, 'map.txt'))):
-        # bare dir of mel npys (no texts available)
-        candidates = [os.path.join(mels_input, f) for f in sorted(os.listdir(mels_input))
-                      if f.endswith('.npy')]
-        mel_files = candidates
-        texts = [''] * len(mel_files)
-    else:
-        map_file = mels_input if isinstance(mels_input, str) else None
-        if map_file is None or not os.path.isfile(map_file):
-            # eval dir containing map.txt
-            map_file = os.path.join(mels_input, 'map.txt')
-        rows = [l.strip().split('|') for l in open(map_file, encoding='utf-8')]
-        # eval map: text|mel_path ; gta map: wav|gt_mel|gta_mel|g|text
-        if len(rows[0]) == 2:
-            texts = [r[0] for r in rows]
-            mel_files = [r[1] for r in rows]
-        else:
-            texts = [r[-1] for r in rows]
-            mel_files = [r[2] for r in rows]
+    texts, mel_files = resolve_mels_input(mels_input)
 
     speaker_ids = None
     if getattr(args, 'speaker_id', None) is not None:

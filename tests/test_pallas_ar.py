@@ -273,6 +273,23 @@ def test_stream_vocode_generator():
     audio = np.concatenate([np.asarray(x) for x in chunks], axis=1)
     assert audio.shape == (2, c_up.shape[1])
     assert np.abs(audio).max() <= 1.0
+
+
+def test_stream_vocoder_reuse_matches_one_shot():
+    """A long-lived StreamVocoder (servers: weights packed once at load) streams
+    the same audio as the one-shot stream_vocode wrapper, request after request."""
+    hp = default_hparams()
+    hp.parse(TINY + ',out_channels=2')
+    state, model, c, c_up = _setup(hp)
+    one_shot = np.concatenate([np.asarray(x) for x in wt.stream_vocode(
+        state.params, hp, jax.random.PRNGKey(3), c,
+        chunk_samples=128, first_chunk_samples=128, interpret=True)], axis=1)
+    voc = wt.StreamVocoder(state.params, hp, interpret=True)
+    for _ in range(2):  # second request reuses the packed weights / jitted prep
+        audio = np.concatenate([np.asarray(x) for x in voc.stream(
+            jax.random.PRNGKey(3), c, chunk_samples=128,
+            first_chunk_samples=128)], axis=1)
+        assert np.array_equal(audio, one_shot)
     # chunk 2 must actually depend on chunk 1's carried state: rerunning chunk 1
     # standalone with fresh state produces a different continuation than audio
     # (weak check: the generator consumed state without error and lengths add up)
