@@ -134,6 +134,42 @@ def eval_step(ema_params, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
 
     pred_wav = _to_waveform(audio_out[:L], hp)
     target_wav = _to_waveform(np.asarray(batch['audio'][0][:L]), hp)
+
+    # AR conditioning tripwire (measured round 5, docs/round5/RESULTS.md §3):
+    # free-running conditioning response can overfit away while the
+    # teacher-forced loss stays healthy (r 0.96 at 10k steps -> 0.43 at 25k
+    # with TF eval loss improving). Track it every eval: correlation between
+    # the spectral-centroid trajectory of the GENERATED audio's re-extracted
+    # mel and the conditioning mel's own trajectory — frame-aligned, the AR
+    # output is exactly the conditioning's L samples. Pick checkpoints by
+    # this (or natural_loss), not the teacher-forced loss.
+    if c1 is not None:
+        try:
+            from ..ops.mcd import mel_centroids
+            w = audio.preemphasis(pred_wav, hp.preemphasis, hp.preemphasize)
+            if hp.rescale:
+                w = w / max(float(np.abs(w).max()), 1e-9) * hp.rescaling_max
+            gen_mel = audio.melspectrogram(np.asarray(w, np.float32), hp).T
+            cond = np.asarray(c1[0], np.float32)
+            lo, hi = ((-hp.max_abs_value, hp.max_abs_value) if hp.symmetric_mels
+                      else (0.0, hp.max_abs_value))
+            cond_mel = cond * (hi - lo) + lo if hp.normalize_for_wavenet else cond
+            T = min(len(gen_mel), len(cond_mel))
+            cen_g, _ = mel_centroids(gen_mel[:T], hp)
+            cen_c, _ = mel_centroids(cond_mel[:T], hp)
+            if T >= 8 and np.std(cen_g) > 1e-6 and np.std(cen_c) > 1e-6:
+                r = float(np.corrcoef(cen_g, cen_c)[0, 1])
+                log('Eval AR conditioning centroid-r: {:.4f}'.format(r))
+                if writer is not None:
+                    writer.add_scalar('eval/ar_conditioning_r', r, step)
+            else:
+                log('AR conditioning metric skipped: {} frames, centroid std '
+                    '(gen {:.2g}, cond {:.2g}) — needs >=8 frames and a '
+                    'time-varying conditioning trajectory'.format(
+                        T, float(np.std(cen_g)), float(np.std(cen_c))))
+        except Exception as e:  # observability must never kill training
+            log('AR conditioning metric skipped: {}'.format(e))
+
     audio.save_wav(pred_wav, os.path.join(eval_wav_dir, f'step-{step}-pred.wav'), hp.sample_rate)
     audio.save_wav(target_wav, os.path.join(eval_wav_dir, f'step-{step}-real.wav'), hp.sample_rate)
     plot.waveplot(os.path.join(eval_plot_dir, f'step-{step}-waveplot.png'),

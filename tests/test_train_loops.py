@@ -140,9 +140,14 @@ def test_wavenet_train_loop_smoke(corpus, capsys):
 
     save_dir = wavenet_train(_args(corpus, wavenet_train_steps=2), log_dir, hp, input_path)
     assert save_dir == os.path.join(log_dir, 'wave_pretrained')
+    out = capsys.readouterr().out
     # short-run EMA guard: 2 steps at decay 0.9999 leaves the shadow
     # init-dominated — the loop must warn (round-2 hardware footgun)
-    assert 'EMA shadow init-dominated' in capsys.readouterr().out
+    assert 'EMA shadow init-dominated' in out
+    # AR conditioning tripwire logged at eval (round-5 overfit finding):
+    # either the metric or its structured skip line, never a silent absence
+    assert ('Eval AR conditioning centroid-r' in out
+            or 'AR conditioning metric skipped' in out)
 
     from tacotron2_tpu.training.checkpointing import CheckpointManager
     assert CheckpointManager(save_dir, max_to_keep=20).latest_step() == 2
