@@ -159,3 +159,48 @@ def test_wavenet_train_loop_smoke(corpus, capsys):
     wavenet_train(_args(corpus, wavenet_train_steps=3, checkpoint_interval=3,
                         eval_interval=100), log_dir, hp, input_path)
     assert CheckpointManager(save_dir, max_to_keep=20).latest_step() == 3
+
+
+def _assert_device_committed(tree):
+    import jax
+    leaves = jax.tree_util.tree_leaves(tree)
+    assert leaves
+    host = [l for l in leaves if not isinstance(l, jax.Array)]
+    assert not host, f'{len(host)}/{len(leaves)} restored leaves are host arrays'
+
+
+def test_synthesizer_load_pins_weights_on_device(corpus):
+    """Restored weights must be device-committed jax.Arrays. orbax restores
+    HOST numpy, and every jitted call re-uploaded the full weight tree
+    (~100 MB/request full-size) — the streaming-TTFA long pole fixed round 5
+    (7.5 s -> 0.10 s, docs/round5/RESULTS.md §2). Pin the fix in both loaders."""
+    from tacotron2_tpu.training.checkpointing import CheckpointManager
+
+    taco_dir = os.path.join(corpus, 'logs-taco', 'taco_pretrained')
+    if CheckpointManager(taco_dir).latest_step() is None:
+        from tacotron2_tpu.training.tacotron_train import tacotron_train
+        hp = default_hparams()
+        hp.parse(TACO_TINY)
+        tacotron_train(_args(corpus, tacotron_train_steps=2, eval_interval=100),
+                       os.path.join(corpus, 'logs-taco'), hp)
+    hp = default_hparams()
+    hp.parse(TACO_TINY)
+    from tacotron2_tpu.inference.tacotron_synthesizer import Synthesizer as TacoSynth
+    ts = TacoSynth()
+    ts.load(taco_dir, hp)
+    _assert_device_committed(ts._variables)
+
+    wave_dir = os.path.join(corpus, 'logs-wave', 'wave_pretrained')
+    if CheckpointManager(wave_dir).latest_step() is None:
+        from tacotron2_tpu.training.wavenet_train import wavenet_train
+        hp = default_hparams()
+        hp.parse(WN_TINY)
+        wavenet_train(_args(corpus, wavenet_train_steps=2, eval_interval=100),
+                      os.path.join(corpus, 'logs-wave'), hp,
+                      os.path.join(corpus, 'training_data', 'map.txt'))
+    hp = default_hparams()
+    hp.parse(WN_TINY)
+    from tacotron2_tpu.inference.wavenet_synthesizer import Synthesizer as WaveSynth
+    ws = WaveSynth()
+    ws.load(wave_dir, hp)
+    _assert_device_committed(ws._params)
