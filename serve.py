@@ -47,6 +47,11 @@ def main():
     p.add_argument('--paper_profile', action='store_true',
                    help='start from the exact-paper hparams profile (reference '
                         'paper_hparams.py swap-in); --hparams applies on top')
+    p.add_argument('--wavenet_checkpoint_step', default=None,
+                   help="WaveNet checkpoint to serve: a step number, 'latest' "
+                        "(default), or 'best' (natural-eval selection; AR "
+                        'conditioning overfits while teacher-forced loss stays '
+                        'healthy — docs/round5/RESULTS.md §3)')
     args = p.parse_args()
 
     hp = paper_hparams() if args.paper_profile else default_hparams()
@@ -58,7 +63,8 @@ def main():
 
     synth = StreamingSynthesizer().load(
         os.path.join(args.base_dir, args.taco_checkpoint),
-        os.path.join(args.base_dir, args.wave_checkpoint), hp)
+        os.path.join(args.base_dir, args.wave_checkpoint), hp,
+        wavenet_step=args.wavenet_checkpoint_step)
 
     def stream_fn(text, seed):
         return synth.stream(text, seed=seed, chunk_seconds=args.chunk_seconds,

@@ -49,7 +49,9 @@ def stream_synthesize(args, hparams, taco_checkpoint, wave_checkpoint, sentences
 
     out_dir = os.path.join(args.output_dir, 'stream')
     os.makedirs(out_dir, exist_ok=True)
-    synth = StreamingSynthesizer().load(taco_checkpoint, wave_checkpoint, hparams)
+    synth = StreamingSynthesizer().load(
+        taco_checkpoint, wave_checkpoint, hparams,
+        wavenet_step=getattr(args, 'wavenet_checkpoint_step', None))
     for i, text in enumerate(sentences):
         t0 = time.time()
         chunks = []
@@ -107,6 +109,12 @@ def main():
     parser.add_argument('--speaker_id', default=None,
                         help='comma-separated speaker ids for standalone multi-speaker '
                              'WaveNet over a mels dir')
+    parser.add_argument('--wavenet_checkpoint_step', default=None,
+                        help="WaveNet checkpoint to load: a step number, 'latest' "
+                             "(default), or 'best' — pick the step whose in-training "
+                             'natural eval scored best (AR conditioning response '
+                             'overfits while the teacher-forced loss stays healthy; '
+                             'docs/round5/RESULTS.md §3)')
     parser.add_argument('--base_dir', default='')
     args = parser.parse_args()
 

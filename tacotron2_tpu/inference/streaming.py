@@ -55,12 +55,14 @@ class StreamingSynthesizer:
     """Two-stage streaming TTS pipeline (Tacotron → streaming WaveNet)."""
 
     def load(self, taco_checkpoint_dir: str, wavenet_checkpoint_dir: str,
-             hparams: Hparams):
+             hparams: Hparams, wavenet_step=None):
+        """wavenet_step: None/'latest', an int step, or 'best' (natural-eval
+        checkpoint selection — see training/checkpoint_select.py)."""
         self._hp = hparams.freeze()
         self._taco = TacotronSynthesizer()
         self._taco.load(taco_checkpoint_dir, hparams)
         self._wn = WaveNetSynthesizer()
-        self._wn.load(wavenet_checkpoint_dir, hparams)
+        self._wn.load(wavenet_checkpoint_dir, hparams, step=wavenet_step)
         # one-time prep (device-resident weights, packed kernel params, jitted
         # conditioning upsampler) so each request pays only per-chunk AR work
         self._get_vocoder()

@@ -16,6 +16,7 @@ import numpy as np
 from ..config import Hparams
 from ..ops import audio
 from ..ops.mulaw import inv_mulaw, inv_mulaw_quantize, is_mulaw, is_mulaw_quantize
+from ..training import checkpoint_select
 from ..training import wavenet_trainer as wt
 from ..training.checkpointing import CheckpointManager
 from ..utils import plot
@@ -24,7 +25,10 @@ from ..utils.infolog import log
 
 
 class Synthesizer:
-    def load(self, checkpoint_dir: str, hparams: Hparams):
+    def load(self, checkpoint_dir: str, hparams: Hparams, step=None):
+        """step: None/'latest' (reference behavior), an int step, or 'best' —
+        resolve from the train loop's natural-eval history (checkpoint_select;
+        the round-5 AR-conditioning overfit cliff makes blind-latest unsafe)."""
         self._hp = hparams.freeze()  # jit-cached generate fns key on hparams identity
         hop = hparams.get_hop_size()
         dummy = dict(
@@ -40,7 +44,22 @@ class Synthesizer:
         ckpt = CheckpointManager(checkpoint_dir)
         if ckpt.latest_step() is None:
             raise FileNotFoundError(f'no checkpoint in {checkpoint_dir}')
-        state = ckpt.restore(state)
+        if step == 'best':
+            resolved = checkpoint_select.resolve_best_checkpoint(
+                checkpoint_dir, ckpt.all_steps())
+            if resolved is None:
+                log('No natural-eval history next to {} — falling back to the '
+                    'latest checkpoint'.format(checkpoint_dir))
+                step = None
+            else:
+                step, reason = resolved
+                log('Selected WaveNet checkpoint step {} by natural eval: {}'.format(
+                    step, reason))
+        elif step in (None, 'latest'):
+            step = None
+        else:
+            step = int(step)
+        state = ckpt.restore(state, step=step)
         log('Loaded WaveNet checkpoint at step {} (EMA weights)'.format(int(state.step)))
         # pin on device: orbax restores host numpy, and re-uploading the weight
         # tree per generate/pack call dominates request latency on a slow link
@@ -127,10 +146,25 @@ def resolve_mels_input(mels_input):
         # eval dir containing map.txt
         map_file = os.path.join(mels_input, 'map.txt')
     rows = [l.strip().split('|') for l in open(map_file, encoding='utf-8')]
-    # eval map: text|mel_path ; gta map: wav|gt_mel|gta_mel|g|text
+    map_dir = os.path.dirname(os.path.abspath(map_file))
+
+    def _resolve(p):
+        # map rows may carry bare filenames (wavenet_preprocess.py writes them
+        # relative to its out_dir layout) — resolve against the map's own dir
+        if os.path.isabs(p) or os.path.exists(p):
+            return p
+        for cand in (os.path.join(map_dir, p), os.path.join(map_dir, 'mels', p)):
+            if os.path.exists(cand):
+                return cand
+        return p
+
+    # eval map: text|mel_path ; gta map: wav|gt_mel|gta_mel|g|text ;
+    # wavenet_preprocess map: audio|mel|mel|g|timesteps|mel_frames (no text col)
     if len(rows[0]) == 2:
-        return [r[0] for r in rows], [r[1] for r in rows]
-    return [r[-1] for r in rows], [r[2] for r in rows]
+        return [r[0] for r in rows], [_resolve(r[1]) for r in rows]
+    if len(rows[0]) >= 6 and rows[0][4].isdigit() and rows[0][5].isdigit():
+        return [''] * len(rows), [_resolve(r[1]) for r in rows]
+    return [r[-1] for r in rows], [_resolve(r[2]) for r in rows]
 
 
 def run_synthesis(args, checkpoint_dir: str, output_dir: str, hparams: Hparams,
@@ -149,7 +183,8 @@ def run_synthesis(args, checkpoint_dir: str, output_dir: str, hparams: Hparams,
         assert len(speaker_ids) == len(mel_files)
 
     synth = Synthesizer()
-    synth.load(checkpoint_dir, hparams)
+    synth.load(checkpoint_dir, hparams,
+               step=getattr(args, 'wavenet_checkpoint_step', None))
 
     bs = hparams.wavenet_synthesis_batch_size
     log('Starting synthesis! (this will take a while..)')

@@ -27,6 +27,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list:
+        return sorted(self._mgr.all_steps())
+
     def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
         if step is None:
             step = self._mgr.latest_step()

@@ -23,6 +23,7 @@ from ..parallel import distributed
 from ..parallel import mesh as mesh_lib
 from ..utils import ValueWindow, plot
 from ..utils.infolog import log
+from . import checkpoint_select
 from . import wavenet_trainer as wt
 from .checkpointing import CheckpointManager
 
@@ -75,9 +76,14 @@ def save_log(step, batch, m, hp, plot_dir, wav_dir):
 
 
 def eval_step(ema_params, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
-    """Full autoregressive generation on one utterance (reference train.py:89-126)."""
+    """Full autoregressive generation on one utterance (reference train.py:89-126).
+
+    Returns the natural-eval metrics dict so the train loop can persist them to
+    the eval-history sidecar for checkpoint selection (checkpoint_select.py)."""
     from ..ops.mulaw import is_mulaw_quantize
     from ..ops.pallas import wavenet_ar
+
+    metrics = {}
 
     c = batch.get('mel_conditions')
     g = batch.get('speaker_ids')
@@ -102,6 +108,7 @@ def eval_step(ema_params, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
     audio_out = np.asarray(out['audio'][0])
     elapsed = time.time() - start
     frames_sec = len(audio_out) / max(elapsed, 1e-6)
+    metrics['gen_samples_per_sec'] = frames_sec
     log('Eval generation: {} samples in {:.3f} sec ({:.1f} samples/sec)'.format(
         len(audio_out), elapsed, frames_sec))
 
@@ -109,6 +116,7 @@ def eval_step(ema_params, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
         # in-kernel scoring (big vocab): same masked mean the host path computes
         m = (jnp.arange(out['nll'].shape[1])[None, :] < L).astype(jnp.float32)
         nat = jnp.sum(out['nll'] * m) / jnp.maximum(jnp.sum(m), 1.0)
+        metrics['natural_loss'] = float(nat)
         log('Eval (natural) loss: {:.5f} (in-kernel)'.format(float(nat)))
         if writer is not None:
             writer.add_scalar('eval/natural_loss', float(nat), step)
@@ -128,6 +136,7 @@ def eval_step(ema_params, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
             nat = dist_mod.discretized_mix_logistic_loss(out['params'], y,
                                                          hp.quantize_channels,
                                                          hp.log_scale_min, m)
+        metrics['natural_loss'] = float(nat)
         log('Eval (natural) loss: {:.5f}'.format(float(nat)))
         if writer is not None:
             writer.add_scalar('eval/natural_loss', float(nat), step)
@@ -159,6 +168,7 @@ def eval_step(ema_params, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
             cen_c, _ = mel_centroids(cond_mel[:T], hp)
             if T >= 8 and np.std(cen_g) > 1e-6 and np.std(cen_c) > 1e-6:
                 r = float(np.corrcoef(cen_g, cen_c)[0, 1])
+                metrics['ar_conditioning_r'] = r
                 log('Eval AR conditioning centroid-r: {:.4f}'.format(r))
                 if writer is not None:
                     writer.add_scalar('eval/ar_conditioning_r', r, step)
@@ -177,6 +187,7 @@ def eval_step(ema_params, batch, hp, eval_plot_dir, eval_wav_dir, step, writer):
     if writer is not None:
         writer.add_scalar('eval/gen_samples_per_sec', frames_sec, step)
         writer.flush()
+    return metrics
 
 
 def train(log_dir: str, args, hparams: Hparams, input_path: str):
@@ -334,8 +345,13 @@ def train(log_dir: str, args, hparams: Hparams, input_path: str):
                                       % len(test_batches)]
                     # fetch only the EMA params — the full state (raw params +
                     # Adam moments) is ~3x the traffic and unused by eval_step
-                    eval_step(jax.device_get(state.ema_params), tb, hp,
-                              eval_plot_dir, eval_wav_dir, step, writer)
+                    em = eval_step(jax.device_get(state.ema_params), tb, hp,
+                                   eval_plot_dir, eval_wav_dir, step, writer)
+                    # persist for 'best'-checkpoint resolution at synthesis time
+                    # (round-5 overfit-cliff finding, checkpoint_select.py)
+                    checkpoint_select.append_eval_record(
+                        save_dir, dict(step=step, teacher_forced_loss=eval_loss,
+                                       **em))
 
             if (getattr(args, 'embedding_interval', 0) and hp.gin_channels > 0 and
                     step % args.embedding_interval == 0 and writer is not None):

@@ -42,3 +42,21 @@ def test_map_file_path_gta_format(tmp_path):
     texts, files = resolve_mels_input(m)
     assert texts == ['the text']
     assert files == [f'{d}/gta-a.npy']
+
+
+def test_wavenet_preprocess_map_bare_filenames(tmp_path):
+    # wavenet_preprocess.py writes audio|mel|mel|g|timesteps|mel_frames with
+    # bare filenames living under <out_dir>/mels/ — synthesis from that map
+    # used to FileNotFoundError on the bare name
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, 'mels'))
+    _mk_mels(os.path.join(d, 'mels'), ['mel-a.npy', 'mel-b.npy'])
+    with open(os.path.join(d, 'map.txt'), 'w') as f:
+        f.write('audio-a.npy|mel-a.npy|mel-a.npy|<no_g>|13475|49\n')
+        f.write('audio-b.npy|mel-b.npy|mel-b.npy|<no_g>|13475|49\n')
+    texts, files = resolve_mels_input(d)
+    assert texts == ['', '']
+    assert files == [os.path.join(d, 'mels', 'mel-a.npy'),
+                     os.path.join(d, 'mels', 'mel-b.npy')]
+    for f_ in files:
+        assert os.path.isfile(f_)
