@@ -120,3 +120,30 @@ def test_checkpoint_manager_all_steps_and_step_restore(tmp_path):
     restored = mgr.restore(tpl, step=20)
     assert float(np.asarray(restored['w'])[0]) == 20.0
     mgr.close()
+
+
+def test_streaming_load_passes_wavenet_step(monkeypatch):
+    # serve.py / stream mode must honor --wavenet_checkpoint_step: the overfit
+    # cliff (docs/round5/RESULTS.md §3) makes blind-latest unsafe for serving
+    from tacotron2_tpu.inference import streaming
+
+    calls = {}
+
+    class FakeTaco:
+        def load(self, d, hp):
+            calls['taco'] = d
+
+    class FakeWN:
+        def load(self, d, hp, step=None):
+            calls['wn_step'] = step
+
+    class FakeHP:
+        def freeze(self):
+            return self
+
+    monkeypatch.setattr(streaming, 'TacotronSynthesizer', FakeTaco)
+    monkeypatch.setattr(streaming, 'WaveNetSynthesizer', FakeWN)
+    monkeypatch.setattr(streaming.StreamingSynthesizer, '_get_vocoder',
+                        lambda self: None)
+    streaming.StreamingSynthesizer().load('t', 'w', FakeHP(), wavenet_step='best')
+    assert calls['wn_step'] == 'best'
